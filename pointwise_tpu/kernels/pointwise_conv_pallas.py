@@ -1,0 +1,313 @@
+"""Fused Pallas TPU kernels for the pointwise convolution.
+
+TPU-native redesign of the reference's custom C++ CPU op (hkust-vgd/pointwise,
+SURVEY.md section 0.1/3.4).  The reference kernel is a scalar per-center loop
+(radius scan -> 27-cell binning -> averaging -> small matmul).  That shape is
+hostile to the MXU, so this is NOT a translation: instead, for a tile of TN
+centers against a tile of TM candidate points we
+
+  1. compute all pairwise squared distances with VPU broadcasts,
+  2. form, for each of the 27 kernel cells, a {0,1} membership mask
+     ``M_k (TN, TM)``, and
+  3. accumulate the cell sums as MXU matmuls ``S_k += M_k @ X`` where
+     ``X (TM, Cinp)`` are the candidate features.  A constant ones-column at
+     feature index ``cin`` makes the same matmul produce the per-cell
+     neighbor counts for free.
+  4. On the last candidate tile the averages ``S_k / max(cnt_k, 1)`` are
+     contracted with the kernel weights ``W_k (Cinp, Coutp)`` — 27 more MXU
+     matmuls — producing the output tile.
+
+Everything is dense masked matmuls on static shapes: no gather, no neighbor
+lists, no data-dependent control flow.  Padding points are placed at a far
+sentinel coordinate so they never enter any real neighborhood; masking
+therefore needs no in-kernel support.
+
+Backward pass (two kernels, both the same masked-matmul structure):
+  * dW:  re-runs the binning accumulation, then per cell
+         ``dW_k += xbar_k^T @ g`` (contraction over centers).
+  * dX:  accumulates ``Z_k += M_k^T @ (g / cnt_k)`` over center tiles, then
+         on the last center tile ``dx = sum_k Z_k @ W_k^T``.  The counts are
+         saved from the forward pass (second kernel output) so normalization
+         needs no extra pass.
+
+Centers and candidates are independent inputs (centers==points gives the
+reference op; centers!=points powers the spatially-sharded / halo paths).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_CELLS = 27
+LANE = 128
+
+# Padding points live here; far enough that no real point is within any
+# practical radius, close enough that squared distances stay finite in f32.
+SENTINEL = 1.0e6
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class PwConvSpec:
+    """Static configuration of one pointwise-conv pallas call (hashable)."""
+
+    radius: float
+    batch: int
+    n_centers: int      # padded, multiple of tile_n
+    n_points: int       # padded, multiple of tile_m
+    cin_p: int          # padded feature width (includes the ones column)
+    cout_p: int         # padded output width
+    cin_col: int        # index of the ones/count column inside cin_p
+    tile_n: int = 128
+    tile_m: int = 128
+    interpret: bool = False
+    acc_dtype: Any = jnp.float32
+
+
+def _pairwise_cells(pr, pc, radius):
+    """Cell ids + validity for a (TN, 3) center tile vs (3, TM) candidate tile.
+
+    Returns (cell int32 (TN, TM), valid bool (TN, TM)).
+    """
+    r = jnp.float32(radius)
+    inv = jnp.float32(3.0 / (2.0 * radius))
+    cell = None
+    d2 = None
+    for a in range(3):
+        pi = pr[:, a : a + 1]        # (TN, 1)
+        pj = pc[a : a + 1, :]        # (1, TM)
+        rel = pj - pi                # (TN, TM)
+        d2 = rel * rel if d2 is None else d2 + rel * rel
+        c = jnp.clip(jnp.floor((rel + r) * inv), 0.0, 2.0).astype(jnp.int32)
+        cell = c if cell is None else cell * 3 + c
+    valid = d2 <= r * r
+    return cell, valid
+
+
+def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref, acc_ref, *, spec):
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    pr = pr_ref[0]                   # (TN, 3)
+    pc = pc_ref[0]                   # (3, TM)
+    x = f_ref[0]                     # (TM, Cinp)
+    cell, valid = _pairwise_cells(pr, pc, spec.radius)
+    for k in range(N_CELLS):
+        mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
+        acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        cc = spec.cin_col
+        y = jnp.zeros((spec.tile_n, spec.cout_p), jnp.float32)
+        cnts = []
+        for k in range(N_CELLS):
+            s = acc_ref[k]                       # (TN, Cinp)
+            cnt = s[:, cc : cc + 1]              # (TN, 1) neighbor count
+            xbar = s / jnp.maximum(cnt, 1.0)
+            y += jnp.dot(xbar, w_ref[k], preferred_element_type=jnp.float32)
+            cnts.append(cnt)
+        y_ref[0] = y + b_ref[0][0:1, :]
+        cnt_ref[0] = jnp.concatenate(cnts, axis=1)   # (TN, 27)
+
+
+def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, dw_ref, acc_ref, *, spec):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(jnp.logical_and(jnp.logical_and(b == 0, i == 0), j == 0))
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    pr = pr_ref[0]
+    pc = pc_ref[0]
+    x = f_ref[0]
+    cell, valid = _pairwise_cells(pr, pc, spec.radius)
+    for k in range(N_CELLS):
+        mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
+        acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        cc = spec.cin_col
+        g = g_ref[0]                              # (TN, Coutp)
+        for k in range(N_CELLS):
+            s = acc_ref[k]
+            cnt = s[:, cc : cc + 1]
+            xbar = s / jnp.maximum(cnt, 1.0)
+            # (Cinp, Coutp) += xbar^T @ g, contracting the center dim.
+            dw_ref[k] += jax.lax.dot_general(
+                xbar, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+def _dx_kernel(pr_ref, pc_ref, g_ref, cnt_ref, w_ref, dx_ref, z_ref, *, spec):
+    i = pl.program_id(2)             # center-tile index (inner/reduction dim)
+    n_i = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
+
+    pr = pr_ref[0]                   # (TN, 3) centers
+    pc = pc_ref[0]                   # (3, TM) candidates (dx targets)
+    g = g_ref[0]                     # (TN, Coutp) upstream grads at centers
+    cnts = cnt_ref[0]                # (TN, 27) forward neighbor counts
+    cell, valid = _pairwise_cells(pr, pc, spec.radius)
+    inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)            # (TN, 27)
+    for k in range(N_CELLS):
+        mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
+        gk = g * inv_cnt[:, k : k + 1]
+        # (TM, Coutp) += M_k^T @ gk, contracting the center dim.
+        z_ref[k] += jax.lax.dot_general(
+            mk, gk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dx = jnp.zeros((spec.tile_m, spec.cin_p), jnp.float32)
+        for k in range(N_CELLS):
+            # (TM, Cinp) += Z_k @ W_k^T, contracting Coutp.
+            dx += jax.lax.dot_general(
+                z_ref[k], w_ref[k], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dx_ref[0] = dx
+
+
+def _vmem(shape, imap):
+    return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+
+def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
+    tn, tm = spec.tile_n, spec.tile_m
+    grid = (spec.batch, spec.n_centers // tn, spec.n_points // tm)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, spec=spec),
+        grid=grid,
+        in_specs=[
+            _vmem((1, tn, 3), lambda b, i, j: (b, i, 0)),
+            _vmem((1, 3, tm), lambda b, i, j: (b, 0, j)),
+            _vmem((1, tm, spec.cin_p), lambda b, i, j: (b, j, 0)),
+            _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, i, j: (0, 0, 0)),
+            _vmem((1, 1, spec.cout_p), lambda b, i, j: (0, 0, 0)),
+        ],
+        out_specs=[
+            _vmem((1, tn, spec.cout_p), lambda b, i, j: (b, i, 0)),
+            _vmem((1, tn, N_CELLS), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((spec.batch, spec.n_centers, spec.cout_p), jnp.float32),
+            jax.ShapeDtypeStruct((spec.batch, spec.n_centers, N_CELLS), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N_CELLS, tn, spec.cin_p), jnp.float32)],
+        interpret=spec.interpret,
+    )(pts_r, pts_c, feats, w, bias)
+
+
+def _dw_call(spec: PwConvSpec, pts_r, pts_c, feats, g):
+    tn, tm = spec.tile_n, spec.tile_m
+    grid = (spec.batch, spec.n_centers // tn, spec.n_points // tm)
+    return pl.pallas_call(
+        functools.partial(_dw_kernel, spec=spec),
+        grid=grid,
+        in_specs=[
+            _vmem((1, tn, 3), lambda b, i, j: (b, i, 0)),
+            _vmem((1, 3, tm), lambda b, i, j: (b, 0, j)),
+            _vmem((1, tm, spec.cin_p), lambda b, i, j: (b, j, 0)),
+            _vmem((1, tn, spec.cout_p), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=[
+            _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, i, j: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_CELLS, spec.cin_p, spec.cout_p), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N_CELLS, tn, spec.cin_p), jnp.float32)],
+        interpret=spec.interpret,
+    )(pts_r, pts_c, feats, g)[0]
+
+
+def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
+    tn, tm = spec.tile_n, spec.tile_m
+    grid = (spec.batch, spec.n_points // tm, spec.n_centers // tn)
+    return pl.pallas_call(
+        functools.partial(_dx_kernel, spec=spec),
+        grid=grid,
+        in_specs=[
+            _vmem((1, tn, 3), lambda b, jj, ii: (b, ii, 0)),
+            _vmem((1, 3, tm), lambda b, jj, ii: (b, 0, jj)),
+            _vmem((1, tn, spec.cout_p), lambda b, jj, ii: (b, ii, 0)),
+            _vmem((1, tn, N_CELLS), lambda b, jj, ii: (b, ii, 0)),
+            _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, jj, ii: (0, 0, 0)),
+        ],
+        out_specs=[
+            _vmem((1, tm, spec.cin_p), lambda b, jj, ii: (b, jj, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((spec.batch, spec.n_points, spec.cin_p), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N_CELLS, tm, spec.cout_p), jnp.float32)],
+        interpret=spec.interpret,
+    )(pts_r, pts_c, g, counts, w)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pointwise_conv_pallas(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
+    """Padded, pre-laid-out pointwise conv. Returns (y, counts).
+
+    Args (all already padded to ``spec`` shapes by the op-layer wrapper):
+      pts_r:  (B, Nc, 3)  center positions (padding at SENTINEL).
+      pts_c:  (B, 3, Nm)  candidate positions, transposed layout.
+      feats:  (B, Nm, cin_p) candidate features; column ``cin_col`` == 1.0.
+      w:      (27, cin_p, cout_p) kernel weights (zero rows at padding).
+      bias:   (1, 1, cout_p).
+    """
+    y, counts = _fwd_call(spec, pts_r, pts_c, feats, w, bias)
+    return y, counts
+
+
+def _pw_fwd(spec, pts_r, pts_c, feats, w, bias):
+    y, counts = _fwd_call(spec, pts_r, pts_c, feats, w, bias)
+    return (y, counts), (pts_r, pts_c, feats, w, counts)
+
+
+def _pw_bwd(spec, res, cts):
+    pts_r, pts_c, feats, w, counts = res
+    g, _ = cts  # cotangent of counts is unused (counts are an aux output)
+    g = g.astype(jnp.float32)
+    dw = _dw_call(spec, pts_r, pts_c, feats, g)
+    dx = _dx_call(spec, pts_r, pts_c, g, counts, w)
+    dbias = jnp.sum(g, axis=(0, 1), keepdims=True)
+    return (
+        jnp.zeros_like(pts_r),
+        jnp.zeros_like(pts_c),
+        dx,
+        dw,
+        dbias,
+    )
+
+
+pointwise_conv_pallas.defvjp(_pw_fwd, _pw_bwd)

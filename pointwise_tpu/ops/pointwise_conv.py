@@ -1,0 +1,148 @@
+"""Public pointwise-convolution op: padding, layout, dispatch, autodiff.
+
+This is the rebuild of the reference's L2 op layer (SURVEY.md section 1):
+where the reference loads a C++ ``.so`` via ``tf.load_op_library`` and
+registers a gradient, here the fused Pallas kernels are JIT-compiled and the
+custom VJP is bound at import time — there is no dynamic loading step.
+
+The wrapper turns the user-facing irregular problem into the static padded
+layout the kernels want:
+  * N (centers) and M (candidates) are padded to tile multiples; padding
+    points are moved to a far SENTINEL coordinate so they fall outside every
+    neighborhood (no in-kernel masking needed).
+  * A constant ones-column is appended to the features at index ``Cin`` so
+    the binning matmul also produces neighbor counts; feature width is then
+    padded to a lane multiple (128).
+  * Masked (invalid) candidates are likewise moved to the sentinel; masked
+    centers produce zeros via a final multiply (whose VJP also zeroes their
+    upstream gradients — matching the reference semantics where padding
+    slots carry no signal).
+
+All padding/slicing happens in plain JAX, so XLA fuses it and autodiff
+handles the corresponding gradient slicing automatically.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pointwise_tpu.kernels.pointwise_conv_pallas import (
+    LANE,
+    N_CELLS,
+    SENTINEL,
+    PwConvSpec,
+    pointwise_conv_pallas,
+    round_up,
+)
+from pointwise_tpu.ops import reference as _ref
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pointwise_conv(
+    points: jnp.ndarray,
+    features: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    *,
+    radius: float,
+    mask: jnp.ndarray | None = None,
+    centers: jnp.ndarray | None = None,
+    center_mask: jnp.ndarray | None = None,
+    impl: str = "auto",
+    interpret: bool | None = None,
+    tile_n: int = 128,
+    tile_m: int = 128,
+) -> jnp.ndarray:
+    """Pointwise convolution (see ops/reference.py for exact semantics).
+
+    Args:
+      points: (M, 3) or (B, M, 3) candidate positions.
+      features: (M, Cin) or (B, M, Cin) candidate features.
+      weights: (27, Cin, Cout).
+      bias: optional (Cout,).
+      radius: static kernel radius.
+      mask: optional candidate validity (0 = padding slot).
+      centers: optional distinct conv centers (defaults to ``points``).
+      center_mask: optional center validity; invalid centers output zeros.
+      impl: 'auto' | 'pallas' | 'reference'.  'auto' picks the Pallas kernel
+        (compiled on TPU, interpreted elsewhere) unless the problem is tiny.
+      interpret: force/disable Pallas interpreter mode (None = auto).
+
+    Returns:
+      (Nc, Cout) or (B, Nc, Cout).
+    """
+    if impl == "auto":
+        impl = "pallas"
+    if impl == "reference":
+        return _ref.pointwise_conv_reference(
+            points, features, weights, bias, radius=radius, mask=mask,
+            centers=centers, center_mask=center_mask,
+        )
+    if impl != "pallas":
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    batched = points.ndim == 3
+    if not batched:
+        points, features = points[None], features[None]
+        mask = None if mask is None else mask[None]
+        centers = None if centers is None else centers[None]
+        center_mask = None if center_mask is None else center_mask[None]
+
+    self_conv = centers is None
+    if self_conv:
+        centers = points
+        center_mask = mask
+
+    B, M, _ = points.shape
+    Nc = centers.shape[1]
+    Cin = features.shape[-1]
+    Cout = weights.shape[-1]
+    if weights.shape != (N_CELLS, Cin, Cout):
+        raise ValueError(f"weights must be (27, {Cin}, Cout), got {weights.shape}")
+
+    Mp = round_up(M, tile_m)
+    Ncp = round_up(Nc, tile_n)
+    cin_p = round_up(Cin + 1, LANE)
+    cout_p = round_up(Cout, LANE)
+
+    f32 = jnp.float32
+    pts = points.astype(f32)
+    if mask is not None:
+        pts = jnp.where(mask.astype(bool)[..., None], pts, SENTINEL)
+    pts = jnp.pad(pts, ((0, 0), (0, Mp - M), (0, 0)), constant_values=SENTINEL)
+
+    ctr = centers.astype(f32)
+    if (not self_conv) and center_mask is not None:
+        ctr = jnp.where(center_mask.astype(bool)[..., None], ctr, -SENTINEL)
+    ctr = jnp.pad(ctr, ((0, 0), (0, Ncp - Nc), (0, 0)), constant_values=-SENTINEL)
+
+    feats = features.astype(f32)
+    feats = jnp.pad(feats, ((0, 0), (0, Mp - M), (0, cin_p - Cin)))
+    feats = feats.at[:, :, Cin].set(1.0)
+
+    w = jnp.pad(weights.astype(f32), ((0, 0), (0, cin_p - Cin), (0, cout_p - Cout)))
+    b = jnp.zeros((Cout,), f32) if bias is None else bias.astype(f32)
+    b = jnp.pad(b, (0, cout_p - Cout))[None, None, :]
+
+    spec = PwConvSpec(
+        radius=float(radius),
+        batch=B,
+        n_centers=Ncp,
+        n_points=Mp,
+        cin_p=cin_p,
+        cout_p=cout_p,
+        cin_col=Cin,
+        tile_n=tile_n,
+        tile_m=tile_m,
+        interpret=_default_interpret() if interpret is None else interpret,
+    )
+    y_p, _ = pointwise_conv_pallas(spec, ctr, jnp.swapaxes(pts, 1, 2), feats, w, b)
+    y = y_p[:, :Nc, :Cout].astype(features.dtype)
+    cm = center_mask if not self_conv or mask is None else mask
+    if cm is not None:
+        y = y * cm.astype(y.dtype)[..., None]
+    return y if batched else y[0]

@@ -1,0 +1,153 @@
+"""Correctness of the pointwise-conv op: Pallas kernel vs dense reference.
+
+SURVEY.md section 4 tiers 1-2: forward match, gradient match (dW, dx, dbias),
+permutation invariance, mask/padding equivalence, empty-cell handling.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointwise_tpu.ops import pointwise_conv, pointwise_conv_reference
+
+
+def make_problem(key, b=2, n=80, cin=5, cout=7, spread=1.0):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pts = jax.random.uniform(k1, (b, n, 3), minval=-spread, maxval=spread)
+    feats = jax.random.normal(k2, (b, n, cin))
+    w = jax.random.normal(k3, (27, cin, cout)) * 0.2
+    bias = jax.random.normal(k4, (cout,)) * 0.1
+    return pts, feats, w, bias
+
+
+def test_forward_matches_reference():
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(0))
+    y_ref = pointwise_conv_reference(pts, feats, w, bias, radius=0.5)
+    y_pal = pointwise_conv(pts, feats, w, bias, radius=0.5, impl="pallas")
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_forward_unbatched():
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(1), b=1)
+    y_ref = pointwise_conv_reference(pts[0], feats[0], w, bias, radius=0.4)
+    y_pal = pointwise_conv(pts[0], feats[0], w, bias, radius=0.4, impl="pallas")
+    assert y_pal.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_radius_variants():
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(2), n=50)
+    for r in (0.05, 0.3, 1.0, 5.0):   # 5.0 = everything is a neighbor
+        y_ref = pointwise_conv_reference(pts, feats, w, bias, radius=r)
+        y_pal = pointwise_conv(pts, feats, w, bias, radius=r, impl="pallas")
+        np.testing.assert_allclose(
+            np.asarray(y_pal), np.asarray(y_ref), rtol=2e-5, atol=2e-5, err_msg=f"r={r}"
+        )
+
+
+def test_tiny_radius_only_self():
+    # With a radius smaller than any inter-point gap, each point sees only
+    # itself (middle cell 13): y = W_13 @ x + b.
+    pts = jnp.asarray(np.random.RandomState(3).uniform(-1, 1, (1, 40, 3)), jnp.float32)
+    feats = jnp.asarray(np.random.RandomState(4).randn(1, 40, 6), jnp.float32)
+    w = jnp.asarray(np.random.RandomState(5).randn(27, 6, 4), jnp.float32)
+    y = pointwise_conv(pts, feats, w, None, radius=1e-5, impl="pallas")
+    expect = jnp.einsum("bnc,cd->bnd", feats, w[13])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(expect), rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_reference():
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(5), b=2, n=60, cin=4, cout=3)
+    key_g = jax.random.PRNGKey(9)
+
+    def loss(fn):
+        def f(feats_, w_, bias_):
+            y = fn(pts, feats_, w_, bias_)
+            gdir = jax.random.normal(key_g, y.shape)
+            return jnp.sum(y * gdir)
+        return f
+
+    ref_fn = lambda p, f, w_, b_: pointwise_conv_reference(p, f, w_, b_, radius=0.6)
+    pal_fn = lambda p, f, w_, b_: pointwise_conv(p, f, w_, b_, radius=0.6, impl="pallas")
+
+    g_ref = jax.grad(loss(ref_fn), argnums=(0, 1, 2))(feats, w, bias)
+    g_pal = jax.grad(loss(pal_fn), argnums=(0, 1, 2))(feats, w, bias)
+    for name, a, b in zip(("dfeats", "dW", "dbias"), g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=3e-5, atol=3e-5, err_msg=name
+        )
+
+
+def test_mask_equivalence():
+    # Feeding n valid + padding slots with mask must equal the unpadded call.
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(7), b=2, n=48)
+    pad = 16
+    pts_p = jnp.pad(pts, ((0, 0), (0, pad), (0, 0)), constant_values=0.123)
+    feats_p = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)), constant_values=9.0)
+    mask = jnp.concatenate(
+        [jnp.ones(pts.shape[:2]), jnp.zeros((pts.shape[0], pad))], axis=1
+    )
+    y = pointwise_conv(pts, feats, w, bias, radius=0.5, impl="pallas")
+    y_m = pointwise_conv(pts_p, feats_p, w, bias, radius=0.5, mask=mask, impl="pallas")
+    np.testing.assert_allclose(np.asarray(y_m[:, :48]), np.asarray(y), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_m[:, 48:]), 0.0)
+
+
+def test_mask_gradients_zero_at_padding():
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(8), b=1, n=32)
+    mask = jnp.ones((1, 32)).at[0, 20:].set(0.0)
+
+    def f(feats_):
+        y = pointwise_conv(pts, feats_, w, bias, radius=0.5, mask=mask, impl="pallas")
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(f)(feats)
+    np.testing.assert_allclose(np.asarray(g[0, 20:]), 0.0)
+    assert float(jnp.max(jnp.abs(g[0, :20]))) > 0.0
+
+
+def test_center_permutation_equivariance():
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(10), b=1, n=56)
+    perm = np.random.RandomState(0).permutation(56)
+    y = pointwise_conv(pts, feats, w, bias, radius=0.5, impl="pallas")
+    y_p = pointwise_conv(pts[:, perm], feats[:, perm], w, bias, radius=0.5, impl="pallas")
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y[:, perm]), rtol=2e-4, atol=2e-5)
+
+
+def test_separate_centers():
+    # centers != points: used by halo/spatial sharding paths.
+    key = jax.random.PRNGKey(11)
+    pts, feats, w, bias = make_problem(key, b=2, n=64, cin=5, cout=6)
+    ctr = pts[:, 10:42]
+    y_ref = pointwise_conv_reference(pts, feats, w, bias, radius=0.5, centers=ctr)
+    y_pal = pointwise_conv(pts, feats, w, bias, radius=0.5, centers=ctr, impl="pallas")
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_empty_neighborhood_outputs_bias():
+    # A center far from all candidates has zero neighbors everywhere: y = bias.
+    pts = jnp.zeros((1, 8, 3)) + jnp.arange(8, dtype=jnp.float32)[None, :, None]
+    feats = jnp.ones((1, 8, 4))
+    ctr = jnp.full((1, 4, 3), 500.0)
+    w = jnp.ones((27, 4, 3))
+    bias = jnp.asarray([1.0, 2.0, 3.0])
+    y = pointwise_conv(pts, feats, w, bias, radius=0.25, centers=ctr, impl="pallas")
+    np.testing.assert_allclose(np.asarray(y), np.broadcast_to(np.array([1.0, 2.0, 3.0]), (1, 4, 3)))
+
+
+def test_cell_binning_structure():
+    # One candidate per known offset direction must select the matching W_k:
+    # with a single neighbor in cell k plus the center itself in cell 13,
+    # y = W_k @ x_j + W_13 @ x_i.
+    r = 0.9
+    ctr = jnp.zeros((1, 1, 3))
+    # offset clearly inside the (2,1,1) cell: x in (r/3, r], y,z centered
+    off = jnp.asarray([[0.6 * r, 0.0, 0.0]])
+    pts = jnp.concatenate([jnp.zeros((1, 1, 3)), off[None]], axis=1)  # center + 1 nb
+    feats = jnp.asarray(np.random.RandomState(1).randn(1, 2, 5), jnp.float32)
+    w = jnp.asarray(np.random.RandomState(2).randn(27, 5, 4), jnp.float32)
+    y = pointwise_conv(pts, feats, w, None, radius=r, centers=ctr, impl="pallas")
+    k = 2 * 9 + 1 * 3 + 1   # cx=2 (positive x), cy=cz=1 (centered)
+    expect = feats[0, 1] @ w[k] + feats[0, 0] @ w[13]
+    np.testing.assert_allclose(np.asarray(y[0, 0]), np.asarray(expect), rtol=2e-5, atol=2e-5)
