@@ -94,6 +94,24 @@ def _pairwise_cells(pr, pc, radius):
     return cell, valid
 
 
+def _tiles_overlap(pr, pc, radius):
+    """Conservative test: can any (center, candidate) pair be within radius?
+
+    pr (TN, 3) centers, pc (3, TM) candidates.  Axis-aligned bbox gap with a
+    small slack; the exact per-pair distance check inside the cell masks
+    remains authoritative, so false positives only cost compute.
+    """
+    d2min = jnp.float32(0.0)
+    for a in range(3):
+        lo1 = jnp.min(pr[:, a : a + 1])
+        hi1 = jnp.max(pr[:, a : a + 1])
+        lo2 = jnp.min(pc[a : a + 1, :])
+        hi2 = jnp.max(pc[a : a + 1, :])
+        gap = jnp.maximum(jnp.maximum(lo1 - hi2, lo2 - hi1), 0.0)
+        d2min = d2min + gap * gap
+    return d2min <= jnp.float32(radius * radius) * 1.0001 + 1e-9
+
+
 def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref, acc_ref, *, spec):
     j = pl.program_id(2)
     n_j = pl.num_programs(2)
@@ -105,10 +123,13 @@ def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref, acc_ref, *,
     pr = pr_ref[0]                   # (TN, 3)
     pc = pc_ref[0]                   # (3, TM)
     x = f_ref[0]                     # (TM, Cinp)
-    cell, valid = _pairwise_cells(pr, pc, spec.radius)
-    for k in range(N_CELLS):
-        mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
-        acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32)
+
+    @pl.when(_tiles_overlap(pr, pc, spec.radius))
+    def _():
+        cell, valid = _pairwise_cells(pr, pc, spec.radius)
+        for k in range(N_CELLS):
+            mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
+            acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32)
 
     @pl.when(j == n_j - 1)
     def _():
@@ -142,10 +163,13 @@ def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, dw_ref, acc_ref, *, spec):
     pr = pr_ref[0]
     pc = pc_ref[0]
     x = f_ref[0]
-    cell, valid = _pairwise_cells(pr, pc, spec.radius)
-    for k in range(N_CELLS):
-        mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
-        acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32)
+
+    @pl.when(_tiles_overlap(pr, pc, spec.radius))
+    def _():
+        cell, valid = _pairwise_cells(pr, pc, spec.radius)
+        for k in range(N_CELLS):
+            mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
+            acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32)
 
     @pl.when(j == n_j - 1)
     def _():
@@ -172,18 +196,21 @@ def _dx_kernel(pr_ref, pc_ref, g_ref, cnt_ref, w_ref, dx_ref, z_ref, *, spec):
 
     pr = pr_ref[0]                   # (TN, 3) centers
     pc = pc_ref[0]                   # (3, TM) candidates (dx targets)
-    g = g_ref[0]                     # (TN, Coutp) upstream grads at centers
-    cnts = cnt_ref[0]                # (TN, 27) forward neighbor counts
-    cell, valid = _pairwise_cells(pr, pc, spec.radius)
-    inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)            # (TN, 27)
-    for k in range(N_CELLS):
-        mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
-        gk = g * inv_cnt[:, k : k + 1]
-        # (TM, Coutp) += M_k^T @ gk, contracting the center dim.
-        z_ref[k] += jax.lax.dot_general(
-            mk, gk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+
+    @pl.when(_tiles_overlap(pr, pc, spec.radius))
+    def _():
+        g = g_ref[0]                 # (TN, Coutp) upstream grads at centers
+        cnts = cnt_ref[0]            # (TN, 27) forward neighbor counts
+        cell, valid = _pairwise_cells(pr, pc, spec.radius)
+        inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)        # (TN, 27)
+        for k in range(N_CELLS):
+            mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
+            gk = g * inv_cnt[:, k : k + 1]
+            # (TM, Coutp) += M_k^T @ gk, contracting the center dim.
+            z_ref[k] += jax.lax.dot_general(
+                mk, gk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(i == n_i - 1)
     def _():

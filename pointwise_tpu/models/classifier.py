@@ -1,0 +1,62 @@
+"""Point-cloud classification network (ModelNet40 workload).
+
+Rebuild of the reference's classification graph (SURVEY.md C4 /
+BASELINE.json config "ModelNet40 classification: 1024 pts, 4x pointwise-conv
++ FC head"): four stacked pointwise convolutions over the constant point set
+with growing kernel radius (the receptive field grows by radius, never by
+downsampling), then a pooled fully-connected head to 40-way logits.
+
+TPU-first deltas from the reference (documented divergences, not omissions):
+  * global aggregation is masked max+mean pooling instead of flattening the
+    per-point feature map into a giant FC — same accuracy class, static
+    shapes, and batch-size independent;
+  * LayerNorm instead of TF-1 batch norm by default (config-switchable).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pointwise_tpu.models.layers import PointwiseConvBlock, masked_pool
+
+
+class PointwiseClassifier(nn.Module):
+    num_classes: int = 40
+    channels: Sequence[int] = (64, 64, 96, 124)
+    radii: Sequence[float] = (0.25, 0.5, 1.0, 2.0)   # unit-sphere clouds
+    head_dims: Sequence[int] = (256, 128)
+    dropout_rate: float = 0.3
+    norm: str = "layer"
+    impl: str = "auto"
+    use_xyz_features: bool = True
+
+    @nn.compact
+    def __call__(self, points, features=None, mask=None, train: bool = False):
+        """points (B,N,3); features optional (B,N,C); returns (B,num_classes)."""
+        if features is None:
+            if not self.use_xyz_features:
+                raise ValueError("need features when use_xyz_features=False")
+            x = points
+        else:
+            x = features
+        for c, r in zip(self.channels, self.radii):
+            x = PointwiseConvBlock(c, r, impl=self.impl, norm=self.norm)(
+                points, x, mask, train=train
+            )
+        h = masked_pool(x, mask)                      # (B, 2C)
+        for d in self.head_dims:
+            h = nn.relu(nn.Dense(d)(h))
+            h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        return nn.Dense(self.num_classes)(h)
+
+
+def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray):
+    """Softmax cross-entropy + accuracy. labels (B,) int."""
+    logp = nn.log_softmax(logits)
+    ll = jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    loss = -jnp.mean(ll)
+    acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+    return loss, acc

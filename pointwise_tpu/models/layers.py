@@ -1,0 +1,80 @@
+"""Flax layers wrapping the pointwise convolution op.
+
+Rebuild of the reference's L2 Python op wrapper + L3 building blocks
+(SURVEY.md section 1): a `PointwiseConv` module owning the (27, Cin, Cout)
+kernel-cell weights, plus the conv->norm->activation block the reference
+networks stack four (or more) times with growing radius.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pointwise_tpu.ops.pointwise_conv import pointwise_conv
+
+
+class PointwiseConv(nn.Module):
+    """One pointwise convolution: 27 kernel cells over a radius-r support."""
+
+    features: int
+    radius: float
+    use_bias: bool = True
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, points, x, mask=None):
+        cin = x.shape[-1]
+        # fan_in = 27 * cin receptive inputs, matching conv-style init.
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (27, cin, self.features)
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return pointwise_conv(
+            points, x, w, b, radius=self.radius, mask=mask, impl=self.impl
+        )
+
+
+class PointwiseConvBlock(nn.Module):
+    """conv -> norm -> activation, the trunk unit of all reference nets."""
+
+    features: int
+    radius: float
+    impl: str = "auto"
+    norm: str = "layer"          # 'layer' | 'batch' | 'none'
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, points, x, mask=None, train: bool = False):
+        y = PointwiseConv(self.features, self.radius, impl=self.impl)(points, x, mask)
+        if self.norm == "layer":
+            y = nn.LayerNorm()(y)
+        elif self.norm == "batch":
+            y = nn.BatchNorm(use_running_average=not train, axis_name=None)(y)
+        elif self.norm != "none":
+            raise ValueError(f"unknown norm: {self.norm!r}")
+        y = self.activation(y)
+        if mask is not None:
+            y = y * mask.astype(y.dtype)[..., None]
+        return y
+
+
+def masked_pool(x: jnp.ndarray, mask: jnp.ndarray | None):
+    """Concat of masked max-pool and mean-pool over the point dim.
+
+    x: (B, N, C); mask: (B, N) or None. Returns (B, 2C).
+    """
+    if mask is None:
+        return jnp.concatenate([jnp.max(x, axis=1), jnp.mean(x, axis=1)], axis=-1)
+    m = mask.astype(x.dtype)[..., None]
+    neg = jnp.finfo(x.dtype).min
+    xmax = jnp.max(jnp.where(m > 0, x, neg), axis=1)
+    denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    xmean = jnp.sum(x * m, axis=1) / denom
+    return jnp.concatenate([xmax, xmean], axis=-1)

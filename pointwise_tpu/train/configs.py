@@ -1,0 +1,102 @@
+"""Typed workload configs (SURVEY.md section 5 'Config / flags').
+
+The reference exposes argparse flags per train script; here each
+BASELINE.json config entry is a frozen dataclass.  Everything is hashable on
+purpose: a config can be part of a jit cache key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    warmup_steps: int = 200
+    decay_steps: int = 20_000
+    min_lr_ratio: float = 0.01
+    grad_clip: float = 5.0
+    b1: float = 0.9
+    b2: float = 0.999
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassificationConfig:
+    name: str = "modelnet40"
+    data_dir: str | None = None
+    num_points: int = 1024
+    batch_size: int = 32
+    num_classes: int = 40
+    channels: Tuple[int, ...] = (64, 64, 96, 124)
+    radii: Tuple[float, ...] = (0.25, 0.5, 1.0, 2.0)
+    head_dims: Tuple[int, ...] = (256, 128)
+    dropout: float = 0.3
+    norm: str = "layer"
+    impl: str = "auto"
+    epochs: int = 100
+    rotate_augment: bool = True
+    optimizer: OptimizerConfig = OptimizerConfig()
+    seed: int = 0
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 3
+    eval_every: int = 500
+    log_every: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentationConfig:
+    name: str = "s3dis"
+    data_dir: str | None = None
+    num_points: int = 4096          # points per block (S3DIS sliding blocks)
+    batch_size: int = 16
+    num_classes: int = 13
+    in_features: int = 6            # rgb + normalized room coords, set per dataset
+    channels: Tuple[int, ...] = (64, 64, 96, 124)
+    radii: Tuple[float, ...] = (0.1, 0.2, 0.4, 0.8)
+    head_dims: Tuple[int, ...] = (256, 128)
+    dropout: float = 0.3
+    norm: str = "layer"
+    impl: str = "auto"
+    epochs: int = 50
+    block_size: float = 1.0         # meters, sliding-block crop
+    block_stride: float = 0.5       # training stride; eval overlaps for voting
+    optimizer: OptimizerConfig = OptimizerConfig()
+    seed: int = 0
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 3
+    eval_every: int = 500
+    log_every: int = 50
+
+
+_REGISTRY = {
+    "modelnet40": ClassificationConfig(),
+    "modelnet40_synthetic": ClassificationConfig(
+        name="modelnet40_synthetic", num_classes=10, epochs=30
+    ),
+    "scenenn": SegmentationConfig(
+        name="scenenn", num_classes=40, in_features=3, block_size=1.5
+    ),
+    "s3dis": SegmentationConfig(name="s3dis"),
+    "s3dis_synthetic": SegmentationConfig(
+        name="s3dis_synthetic", num_classes=5, batch_size=8
+    ),
+    "shapenetpart": SegmentationConfig(
+        name="shapenetpart",
+        num_classes=50,
+        num_points=2048,
+        in_features=3,
+        channels=(64, 64, 96, 96, 124, 124),
+        radii=(0.15, 0.25, 0.4, 0.6, 0.9, 1.4),
+    ),
+}
+
+
+def get_config(name: str):
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown config {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]

@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Training CLI (rebuild of the reference's per-workload train_*.py scripts).
+
+Examples:
+  python train.py --config modelnet40_synthetic --steps 200
+  python train.py --config modelnet40 --data-dir /data/modelnet40_ply_hdf5_2048
+  python train.py --config s3dis_synthetic --steps 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointwise_tpu.data import augment, modelnet, pipeline
+from pointwise_tpu.models import (
+    PointwiseClassifier,
+    PointwiseSegmenter,
+    classification_loss,
+    segmentation_loss,
+)
+from pointwise_tpu.train import get_config
+from pointwise_tpu.train.configs import ClassificationConfig, SegmentationConfig
+from pointwise_tpu.train.trainer import Trainer, log_metrics
+
+
+def build_classifier(cfg: ClassificationConfig):
+    model = PointwiseClassifier(
+        num_classes=cfg.num_classes,
+        channels=cfg.channels,
+        radii=cfg.radii,
+        head_dims=cfg.head_dims,
+        dropout_rate=cfg.dropout,
+        norm=cfg.norm,
+        impl=cfg.impl,
+    )
+
+    def loss_fn(params, batch, rng, train):
+        pts = batch["points"]
+        if train:
+            rng_aug, rng_drop = jax.random.split(rng)
+            pts = augment.classification_augment(
+                rng_aug, pts, rotate=cfg.rotate_augment
+            )
+        else:
+            rng_drop = rng
+        logits = model.apply(
+            {"params": params}, pts, train=train, rngs={"dropout": rng_drop}
+        )
+        loss, acc = classification_loss(logits, batch["label"])
+        return loss, {"accuracy": acc}
+
+    return model, loss_fn
+
+
+def train_classification(cfg: ClassificationConfig, args):
+    train_data = modelnet.load_modelnet40(
+        cfg.data_dir or args.data_dir, "train", cfg.num_points, seed=cfg.seed
+    )
+    test_data = modelnet.load_modelnet40(
+        cfg.data_dir or args.data_dir, "test", cfg.num_points,
+        synthetic_size=128, seed=cfg.seed,
+    )
+    if train_data.num_classes != cfg.num_classes:
+        cfg = dataclasses.replace(cfg, num_classes=train_data.num_classes)
+
+    model, loss_fn = build_classifier(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = {
+        "points": jnp.zeros((cfg.batch_size, cfg.num_points, 3)),
+        "label": jnp.zeros((cfg.batch_size,), jnp.int32),
+    }
+    params = model.init(rng, sample["points"], train=False)["params"]
+    trainer = Trainer(loss_fn, params, cfg.optimizer)
+    if args.resume and cfg.checkpoint_dir:
+        start = trainer.restore_checkpoint(cfg.checkpoint_dir)
+        print(f"# resumed at step {start}", flush=True)
+
+    t0 = time.time()
+    step = int(jax.device_get(trainer.state.step))
+    max_steps = args.steps or cfg.epochs * (len(train_data.labels) // cfg.batch_size)
+    epoch = 0
+    while step < max_steps:
+        it = modelnet.batches(train_data, cfg.batch_size, seed=cfg.seed + epoch)
+        for batch in pipeline.prefetch_to_device(it):
+            rng, rs = jax.random.split(rng)
+            metrics = trainer.step(batch, rs)
+            step += 1
+            if step % cfg.log_every == 0 or step == 1:
+                log_metrics(step, jax.device_get(metrics), t0=t0)
+            if step % cfg.eval_every == 0 or step == max_steps:
+                ev = trainer.evaluate(
+                    pipeline.prefetch_to_device(
+                        modelnet.batches(test_data, cfg.batch_size, shuffle=False)
+                    ),
+                    rng,
+                )
+                log_metrics(step, ev, t0=t0, extra={"split": "test"})
+            if cfg.checkpoint_dir and step % cfg.checkpoint_every == 0:
+                trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
+            if step >= max_steps:
+                break
+        epoch += 1
+    if cfg.checkpoint_dir:
+        trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
+    return trainer
+
+
+def train_segmentation(cfg: SegmentationConfig, args):
+    from pointwise_tpu.data import s3dis
+
+    blocks = s3dis.training_blocks(cfg, data_dir=cfg.data_dir or args.data_dir)
+    model = PointwiseSegmenter(
+        num_classes=cfg.num_classes,
+        channels=cfg.channels,
+        radii=cfg.radii,
+        head_dims=cfg.head_dims,
+        dropout_rate=cfg.dropout,
+        norm=cfg.norm,
+        impl=cfg.impl,
+    )
+
+    def loss_fn(params, batch, rng, train):
+        logits = model.apply(
+            {"params": params},
+            batch["points"],
+            batch["features"],
+            batch["mask"],
+            train=train,
+            rngs={"dropout": rng},
+        )
+        loss, acc = segmentation_loss(logits, batch["label"], batch["mask"])
+        return loss, {"accuracy": acc}
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = s3dis.batch_template(cfg)
+    params = model.init(
+        rng, sample["points"], sample["features"], sample["mask"], train=False
+    )["params"]
+    trainer = Trainer(loss_fn, params, cfg.optimizer)
+
+    t0 = time.time()
+    step = 0
+    max_steps = args.steps or cfg.epochs * max(1, len(blocks["points"]) // cfg.batch_size)
+    epoch = 0
+    while step < max_steps:
+        it = s3dis.block_batches(blocks, cfg.batch_size, seed=cfg.seed + epoch)
+        for batch in pipeline.prefetch_to_device(it):
+            rng, rs = jax.random.split(rng)
+            metrics = trainer.step(batch, rs)
+            step += 1
+            if step % cfg.log_every == 0 or step == 1:
+                log_metrics(step, jax.device_get(metrics), t0=t0)
+            if step >= max_steps:
+                break
+        epoch += 1
+    if cfg.checkpoint_dir:
+        trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
+    return trainer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="modelnet40_synthetic")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--steps", type=int, default=None, help="override total steps")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    cfg = get_config(args.config)
+    if args.checkpoint_dir:
+        cfg = dataclasses.replace(cfg, checkpoint_dir=args.checkpoint_dir)
+    print(f"# config={args.config} backend={jax.default_backend()} "
+          f"devices={len(jax.devices())}", flush=True)
+    if isinstance(cfg, ClassificationConfig):
+        train_classification(cfg, args)
+    else:
+        train_segmentation(cfg, args)
+
+
+if __name__ == "__main__":
+    main()
