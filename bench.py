@@ -77,9 +77,9 @@ def bench_train_step(B=32, N=1024, steps=20):
         loss, acc = classification_loss(logits, batch["label"])
         return loss, {"acc": acc}
 
-    params = model.init(jax.random.PRNGKey(0), batch["points"], train=False)[
-        "params"
-    ]
+    params = jax.jit(
+        lambda r: model.init(r, batch["points"], train=False)
+    )(jax.random.PRNGKey(0))["params"]
     trainer = Trainer(loss_fn, params, OptimizerConfig(), donate=True)
     rng = jax.random.PRNGKey(1)
 

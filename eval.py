@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Evaluation / inference CLI (rebuild of the reference's test_*.py scripts,
+SURVEY.md C11).
+
+  python eval.py --config modelnet40_synthetic --checkpoint-dir ckpt/
+      classification accuracy; --votes R adds rotation voting (average
+      logits over R rotations about the up axis, the reference eval trick).
+
+  python eval.py --config s3dis_synthetic --checkpoint-dir ckpt/
+      full-scene segmentation: sliding blocks + overlap voting -> per-point
+      labels -> accuracy / mIoU (SURVEY.md section 3.3 flow).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointwise_tpu.data import modelnet, s3dis, scenenn
+from pointwise_tpu.models import PointwiseClassifier, PointwiseSegmenter
+from pointwise_tpu.train import get_config
+from pointwise_tpu.train.configs import ClassificationConfig, SegmentationConfig
+from pointwise_tpu.train.trainer import Trainer
+
+
+def _restore_params(cfg, model, sample_args, checkpoint_dir):
+    params = jax.jit(
+        lambda r: model.init(r, *sample_args, train=False)
+    )(jax.random.PRNGKey(0))["params"]
+    if checkpoint_dir:
+        trainer = Trainer(lambda p, b, r, t: (jnp.zeros(()), {}), params,
+                          cfg.optimizer, donate=False)
+        step = trainer.restore_checkpoint(checkpoint_dir)
+        print(f"# restored step {step} from {checkpoint_dir}", flush=True)
+        return trainer.state.params
+    print("# no checkpoint dir: evaluating fresh params", flush=True)
+    return params
+
+
+def eval_classification(cfg: ClassificationConfig, args):
+    data = modelnet.load_modelnet40(
+        cfg.data_dir or args.data_dir, "test", cfg.num_points,
+        synthetic_size=256, seed=cfg.seed,
+    )
+    if data.num_classes != cfg.num_classes:
+        cfg = dataclasses.replace(cfg, num_classes=data.num_classes)
+    model = PointwiseClassifier(
+        num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
+        head_dims=cfg.head_dims, dropout_rate=cfg.dropout, norm=cfg.norm,
+        impl=cfg.impl,
+    )
+    sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3))
+    params = _restore_params(cfg, model, (sample,), args.checkpoint_dir)
+
+    @jax.jit
+    def logits_fn(params, pts):
+        return model.apply({"params": params}, pts, train=False)
+
+    votes = max(1, args.votes)
+    correct = total = 0
+    for batch in modelnet.batches(data, cfg.batch_size, shuffle=False):
+        pts = jnp.asarray(batch["points"])
+        acc_logits = 0.0
+        for v in range(votes):
+            theta = 2 * np.pi * v / votes
+            c, s = np.cos(theta), np.sin(theta)
+            rot = jnp.asarray(
+                [[c, 0, s], [0, 1, 0], [-s, 0, c]], jnp.float32
+            )
+            acc_logits = acc_logits + logits_fn(params, pts @ rot)
+        pred = np.asarray(jnp.argmax(acc_logits, -1))
+        correct += int((pred == batch["label"]).sum())
+        total += len(pred)
+    acc = correct / max(total, 1)
+    print(json.dumps({"metric": "classification_accuracy", "value": acc,
+                      "votes": votes, "n": total}), flush=True)
+    return acc
+
+
+def eval_segmentation(cfg: SegmentationConfig, args):
+    if cfg.name.startswith("scenenn"):
+        scenes = scenenn.load_scenes(cfg.data_dir or args.data_dir, seed=cfg.seed)
+        feature_mode = "rgb"
+    else:
+        scenes = s3dis.load_rooms(cfg.data_dir or args.data_dir, seed=cfg.seed)
+        feature_mode = "rgb" if cfg.in_features == 3 else "rgb_norm"
+    model = PointwiseSegmenter(
+        num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
+        head_dims=cfg.head_dims, dropout_rate=cfg.dropout, norm=cfg.norm,
+        impl=cfg.impl,
+    )
+    tmpl = s3dis.batch_template(cfg)
+    params = _restore_params(
+        cfg, model, (tmpl["points"], tmpl["features"], tmpl["mask"]),
+        args.checkpoint_dir,
+    )
+
+    @jax.jit
+    def logits_fn(params, pts, feats, mask):
+        return model.apply({"params": params}, pts, feats, mask, train=False)
+
+    def predict(points, features, mask):
+        return np.asarray(
+            logits_fn(params, jnp.asarray(points), jnp.asarray(features),
+                      jnp.asarray(mask))
+        )
+
+    all_pred, all_lab = [], []
+    for i, (xyz, rgb, lab) in enumerate(scenes):
+        res = s3dis.predict_scene_voting(
+            predict, xyz, rgb,
+            num_classes=cfg.num_classes, num_points=cfg.num_points,
+            block_size=cfg.block_size, stride=cfg.block_stride / 2,
+            batch_size=cfg.batch_size, label=lab, feature_mode=feature_mode,
+        )
+        m = s3dis.iou_metrics(res["pred"], lab, cfg.num_classes)
+        print(f"# scene {i}: acc={m['accuracy']:.4f} miou={m['miou']:.4f} "
+              f"covered={res['covered'].mean():.3f}", flush=True)
+        all_pred.append(res["pred"])
+        all_lab.append(lab)
+    m = s3dis.iou_metrics(
+        np.concatenate(all_pred), np.concatenate(all_lab), cfg.num_classes
+    )
+    print(json.dumps({"metric": "segmentation", "accuracy": m["accuracy"],
+                      "miou": m["miou"], "scenes": len(scenes)}), flush=True)
+    return m
+
+
+def main():
+    from pointwise_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="modelnet40_synthetic")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--votes", type=int, default=1,
+                    help="rotation votes for classification eval")
+    args = ap.parse_args()
+    cfg = get_config(args.config)
+    print(f"# eval config={args.config} backend={jax.default_backend()}", flush=True)
+    if isinstance(cfg, ClassificationConfig):
+        eval_classification(cfg, args)
+    else:
+        eval_segmentation(cfg, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,7 @@ def room_blocks(
     min_points: int = 32,
     rng: np.random.RandomState | None = None,
     cover_all: bool = False,
+    feature_mode: str = "rgb_norm",   # 'rgb_norm' (S3DIS, 6) | 'rgb' (SceneNN, 3)
 ):
     """Slide an XY window over one room -> static-shape block samples.
 
@@ -99,21 +100,25 @@ def room_blocks(
                     chunks[-1] = np.concatenate([tail, pad])
             for sel in chunks:
                 _emit_block(out, xyz, rgb, label, sel, x0, y0,
-                            block_size, mins, span)
+                            block_size, mins, span, feature_mode)
     if not out["points"]:
         return None
     return {k: np.stack(v) for k, v in out.items()}
 
 
-def _emit_block(out, xyz, rgb, label, sel, x0, y0, block_size, mins, span):
+def _emit_block(out, xyz, rgb, label, sel, x0, y0, block_size, mins, span,
+                feature_mode="rgb_norm"):
     # Morton-sort the block so the conv kernels' tile bbox early-out fires.
     sel = sel[np.argsort(morton_code(xyz[sel]), kind="stable")]
     mask = np.ones(len(sel), np.float32)
     bxyz = xyz[sel]
     center = np.array([x0 + block_size / 2, y0 + block_size / 2, 0.0], np.float32)
     local = bxyz - center
-    norm_coords = (bxyz - mins) / span
-    feats = np.concatenate([rgb[sel], norm_coords], axis=1)
+    if feature_mode == "rgb":
+        feats = rgb[sel]
+    else:
+        norm_coords = (bxyz - mins) / span
+        feats = np.concatenate([rgb[sel], norm_coords], axis=1)
     out["points"].append(local.astype(np.float32))
     out["features"].append(feats.astype(np.float32))
     out["label"].append(label[sel].astype(np.int32))
@@ -132,6 +137,7 @@ def training_blocks(cfg, data_dir: str | None = None, seed: int = 0):
             block_size=cfg.block_size,
             stride=cfg.block_stride,
             rng=rng,
+            feature_mode="rgb" if cfg.in_features == 3 else "rgb_norm",
         )
         if b is not None:
             parts.append(b)
@@ -175,6 +181,7 @@ def predict_scene_voting(
     batch_size: int = 16,
     label: np.ndarray | None = None,
     rng: np.random.RandomState | None = None,
+    feature_mode: str = "rgb_norm",
 ):
     """Full-scene inference with overlap voting (SURVEY.md section 3.3).
 
@@ -187,6 +194,7 @@ def predict_scene_voting(
         xyz, rgb, label if label is not None else np.zeros(len(xyz), np.int32),
         num_points=num_points, block_size=block_size, stride=stride,
         rng=rng or np.random.RandomState(0), cover_all=True,
+        feature_mode=feature_mode,
     )
     votes = np.zeros((len(xyz), num_classes), np.float32)
     covered = np.zeros(len(xyz), bool)

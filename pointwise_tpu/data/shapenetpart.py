@@ -1,0 +1,140 @@
+"""ShapeNetPart part-segmentation dataset (BASELINE.json config 4).
+
+A NEW workload relative to the reference repo (SURVEY.md C5: "new per-point
+head"): clouds of single objects, a 16-way object category, and per-point
+part labels from a 50-part global label space (each category owns a
+contiguous range of parts).
+
+On-disk contract: directory of HDF5 shards with datasets ``data`` (B,N,3),
+``label`` (B,1) category, ``pid`` (B,N) part ids — the standard public
+release layout.  Procedural fallback: primitive clouds whose "parts" are
+deterministic geometric regions (angular sectors around the up axis offset
+by the category), so nets can genuinely learn them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+
+import numpy as np
+
+from pointwise_tpu.data import synthetic
+from pointwise_tpu.utils import spatial
+
+NUM_CATEGORIES = 16
+NUM_PARTS = 50
+PARTS_PER_CATEGORY = 3  # synthetic fallback: 3 sectors per category
+
+
+@dataclasses.dataclass
+class PartSegData:
+    points: np.ndarray      # (num, N, 3) f32
+    category: np.ndarray    # (num,) i32 in [0, 16)
+    part: np.ndarray        # (num, N) i32 in [0, 50)
+    num_categories: int = NUM_CATEGORIES
+    num_parts: int = NUM_PARTS
+
+
+def _load_h5_dir(path: str, split: str) -> PartSegData | None:
+    import h5py
+
+    files = sorted(glob.glob(os.path.join(path, f"*{split}*.h5")))
+    if not files:
+        return None
+    pts, cats, pids = [], [], []
+    for f in files:
+        with h5py.File(f, "r") as h:
+            pts.append(np.asarray(h["data"], np.float32))
+            cats.append(np.asarray(h["label"], np.int64).reshape(-1))
+            pids.append(np.asarray(h["pid"], np.int64))
+    return PartSegData(
+        np.concatenate(pts),
+        np.concatenate(cats).astype(np.int32),
+        np.concatenate(pids).astype(np.int32),
+    )
+
+
+def synthetic_set(seed: int, num_clouds: int, n_points: int = 2048) -> PartSegData:
+    rng = np.random.RandomState(seed)
+    cats = rng.randint(0, NUM_CATEGORIES, num_clouds).astype(np.int32)
+    pts = np.stack(
+        [synthetic.make_shape(rng, int(c) % synthetic.NUM_CLASSES, n_points)
+         for c in cats]
+    ).astype(np.float32)
+    # parts: angular sector about the up (Y) axis, rotated per category so
+    # part boundaries differ across categories; global id = cat*3 + sector.
+    ang = np.arctan2(pts[..., 2], pts[..., 0]) + np.pi           # [0, 2pi)
+    ang = (ang + (cats[:, None] * 2 * np.pi / NUM_CATEGORIES)) % (2 * np.pi)
+    sector = np.minimum(
+        (ang / (2 * np.pi) * PARTS_PER_CATEGORY).astype(np.int32),
+        PARTS_PER_CATEGORY - 1,
+    )
+    part = (cats[:, None] * PARTS_PER_CATEGORY + sector).astype(np.int32)
+    return PartSegData(pts, cats, part, num_parts=NUM_CATEGORIES * PARTS_PER_CATEGORY)
+
+
+def load_shapenetpart(path: str | None, split: str = "train",
+                      n_points: int = 2048, synthetic_size: int = 256,
+                      seed: int = 0) -> PartSegData:
+    if path:
+        data = _load_h5_dir(path, split)
+        if data is not None:
+            if data.points.shape[1] > n_points:
+                data.points = data.points[:, :n_points]
+                data.part = data.part[:, :n_points]
+            pts, part = [], []
+            for i in range(len(data.points)):
+                p, q = spatial.morton_sort(data.points[i], data.part[i])
+                pts.append(p)
+                part.append(q)
+            data.points = np.stack(pts)
+            data.part = np.stack(part)
+            return data
+    seed = seed + (0 if split == "train" else 10_000)
+    data = synthetic_set(seed, synthetic_size, n_points)
+    pts, part = [], []
+    for i in range(len(data.points)):
+        p, q = spatial.morton_sort(data.points[i], data.part[i])
+        pts.append(p)
+        part.append(q)
+    data.points = np.stack(pts)
+    data.part = np.stack(part)
+    return data
+
+
+def batches(data: PartSegData, batch_size: int, *, shuffle=True, seed=0,
+            drop_remainder=True):
+    n = len(data.category)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    stop = (n // batch_size) * batch_size if drop_remainder else n
+    for s in range(0, stop, batch_size):
+        sel = idx[s : s + batch_size]
+        yield {
+            "points": data.points[sel],
+            "category": data.category[sel],
+            "label": data.part[sel],
+            "mask": np.ones((len(sel), data.points.shape[1]), np.float32),
+        }
+
+
+def category_miou(pred: np.ndarray, label: np.ndarray, category: np.ndarray,
+                  parts_per_category: dict[int, list[int]] | None = None):
+    """Instance-average mIoU, the ShapeNetPart convention: IoU per shape
+    averaged over its category's part set, then averaged over shapes."""
+    ious = []
+    for i in range(len(category)):
+        if parts_per_category is None:
+            parts = np.unique(np.concatenate([label[i], pred[i]]))
+        else:
+            parts = parts_per_category[int(category[i])]
+        shape_ious = []
+        for p in parts:
+            inter = int(((pred[i] == p) & (label[i] == p)).sum())
+            union = int(((pred[i] == p) | (label[i] == p)).sum())
+            shape_ious.append(1.0 if union == 0 else inter / union)
+        ious.append(float(np.mean(shape_ious)))
+    return float(np.mean(ious))

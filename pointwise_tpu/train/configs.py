@@ -85,13 +85,17 @@ _REGISTRY = {
     "s3dis_synthetic": SegmentationConfig(
         name="s3dis_synthetic", num_classes=5, batch_size=8
     ),
+    # Deep conv stack with growing-but-local radii: receptive field reaches
+    # the whole (unit-sphere) object through stacking, not through O(N^2)
+    # global supports — the TPU-friendly way to go deep.
     "shapenetpart": SegmentationConfig(
         name="shapenetpart",
         num_classes=50,
         num_points=2048,
+        batch_size=8,
         in_features=3,
         channels=(64, 64, 96, 96, 124, 124),
-        radii=(0.15, 0.25, 0.4, 0.6, 0.9, 1.4),
+        radii=(0.1, 0.15, 0.2, 0.3, 0.4, 0.6),
     ),
 }
 

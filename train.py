@@ -75,7 +75,7 @@ def train_classification(cfg: ClassificationConfig, args):
         "points": jnp.zeros((cfg.batch_size, cfg.num_points, 3)),
         "label": jnp.zeros((cfg.batch_size,), jnp.int32),
     }
-    params = model.init(rng, sample["points"], train=False)["params"]
+    params = jax.jit(lambda r: model.init(r, sample["points"], train=False))(rng)["params"]
     trainer = Trainer(loss_fn, params, cfg.optimizer)
     if args.resume and cfg.checkpoint_dir:
         start = trainer.restore_checkpoint(cfg.checkpoint_dir)
@@ -139,9 +139,11 @@ def train_segmentation(cfg: SegmentationConfig, args):
 
     rng = jax.random.PRNGKey(cfg.seed)
     sample = s3dis.batch_template(cfg)
-    params = model.init(
-        rng, sample["points"], sample["features"], sample["mask"], train=False
-    )["params"]
+    params = jax.jit(
+        lambda r: model.init(
+            r, sample["points"], sample["features"], sample["mask"], train=False
+        )
+    )(rng)["params"]
     trainer = Trainer(loss_fn, params, cfg.optimizer)
 
     t0 = time.time()
@@ -164,7 +166,70 @@ def train_segmentation(cfg: SegmentationConfig, args):
     return trainer
 
 
+def train_shapenetpart(cfg: SegmentationConfig, args):
+    from pointwise_tpu.data import shapenetpart
+    from pointwise_tpu.models import ShapeNetPartSegmenter
+
+    data = shapenetpart.load_shapenetpart(
+        cfg.data_dir or args.data_dir, "train", cfg.num_points, seed=cfg.seed
+    )
+    model = ShapeNetPartSegmenter(
+        num_parts=data.num_parts,
+        num_categories=data.num_categories,
+        channels=cfg.channels,
+        radii=cfg.radii,
+        head_dims=cfg.head_dims,
+        dropout_rate=cfg.dropout,
+        norm=cfg.norm,
+        impl=cfg.impl,
+    )
+
+    def loss_fn(params, batch, rng, train):
+        logits = model.apply(
+            {"params": params}, batch["points"], batch["category"],
+            mask=batch["mask"], train=train, rngs={"dropout": rng},
+        )
+        loss, acc = segmentation_loss(logits, batch["label"], batch["mask"])
+        return loss, {"accuracy": acc}
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = {
+        "points": jnp.zeros((cfg.batch_size, cfg.num_points, 3)),
+        "category": jnp.zeros((cfg.batch_size,), jnp.int32),
+        "mask": jnp.ones((cfg.batch_size, cfg.num_points)),
+    }
+    params = jax.jit(
+        lambda r: model.init(
+            r, sample["points"], sample["category"], mask=sample["mask"],
+            train=False,
+        )
+    )(rng)["params"]
+    trainer = Trainer(loss_fn, params, cfg.optimizer)
+
+    t0 = time.time()
+    step = 0
+    max_steps = args.steps or cfg.epochs * max(1, len(data.category) // cfg.batch_size)
+    epoch = 0
+    while step < max_steps:
+        it = shapenetpart.batches(data, cfg.batch_size, seed=cfg.seed + epoch)
+        for batch in pipeline.prefetch_to_device(it):
+            rng, rs = jax.random.split(rng)
+            metrics = trainer.step(batch, rs)
+            step += 1
+            if step % cfg.log_every == 0 or step == 1:
+                log_metrics(step, jax.device_get(metrics), t0=t0)
+            if step >= max_steps:
+                break
+        epoch += 1
+    if cfg.checkpoint_dir:
+        trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
+    return trainer
+
+
 def main():
+    from pointwise_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="modelnet40_synthetic")
     ap.add_argument("--data-dir", default=None)
@@ -180,6 +245,8 @@ def main():
           f"devices={len(jax.devices())}", flush=True)
     if isinstance(cfg, ClassificationConfig):
         train_classification(cfg, args)
+    elif cfg.name.startswith("shapenetpart"):
+        train_shapenetpart(cfg, args)
     else:
         train_segmentation(cfg, args)
 
