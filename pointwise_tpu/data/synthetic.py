@@ -41,11 +41,13 @@ def make_shape(rng: np.random.RandomState, class_id: int, n: int) -> np.ndarray:
         a = rng.uniform(-1, 1, (n, 2))
         p = np.zeros((n, 3))
         axis, sign = face % 3, (face // 3) * 2 - 1
-        for i in range(n):
-            o = [0, 1, 2]
-            o.remove(axis[i])
-            p[i, axis[i]] = sign[i]
-            p[i, o[0]], p[i, o[1]] = a[i]
+        others = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+        for ax in range(3):
+            sel = axis == ax
+            o0, o1 = others[ax]
+            p[sel, ax] = sign[sel]
+            p[sel, o0] = a[sel, 0]
+            p[sel, o1] = a[sel, 1]
     elif name == "cylinder":
         th = 2 * np.pi * u
         p = np.stack([np.cos(th), 2 * v - 1, np.sin(th)], 1)
@@ -60,15 +62,14 @@ def make_shape(rng: np.random.RandomState, class_id: int, n: int) -> np.ndarray:
             [(1 + rr * np.cos(ph)) * np.cos(th), rr * np.sin(ph),
              (1 + rr * np.cos(ph)) * np.sin(th)], 1)
     elif name == "pyramid":
-        # 4 triangular faces of a tetrahedron
+        # 4 triangular faces of a tetrahedron (vectorized barycentric sample)
         verts = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], float)
-        faces = [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+        faces = np.array([(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)])
         fi = rng.randint(0, 4, n)
         r1, r2 = np.sqrt(rng.uniform(0, 1, n)), rng.uniform(0, 1, n)
-        p = np.zeros((n, 3))
-        for i in range(n):
-            a, b, c = (verts[j] for j in faces[fi[i]])
-            p[i] = (1 - r1[i]) * a + r1[i] * (1 - r2[i]) * b + r1[i] * r2[i] * c
+        A, B, C = (verts[faces[fi, j]] for j in range(3))
+        p = ((1 - r1)[:, None] * A + (r1 * (1 - r2))[:, None] * B
+             + (r1 * r2)[:, None] * C)
     elif name == "disk":
         th = 2 * np.pi * u
         rad = np.sqrt(v)
