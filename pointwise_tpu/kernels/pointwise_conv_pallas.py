@@ -68,10 +68,17 @@ class PwConvSpec:
     cin_p: int          # padded feature width (includes the ones column)
     cout_p: int         # padded output width
     cin_col: int        # index of the ones/count column inside cin_p
-    tile_n: int = 128
-    tile_m: int = 128
+    tile_n: int = 128   # center tile (fwd/dw); candidate-out tile (dx)
+    tile_m: int = 128   # candidate tile (fwd/dw); center-inner tile (dx)
     interpret: bool = False
+    mm_dtype: str = "float32"   # 'float32' | 'bfloat16' matmul inputs
     acc_dtype: Any = jnp.float32
+
+
+def _mm_precision(mm_dtype):
+    # bf16 operands must not request an fp32 contraction (Mosaic rejects the
+    # combination when jax_default_matmul_precision=highest leaks in).
+    return jax.lax.Precision.DEFAULT if jnp.dtype(mm_dtype) == jnp.bfloat16 else None
 
 
 def _pairwise_cells(pr, pc, radius):
@@ -92,6 +99,15 @@ def _pairwise_cells(pr, pc, radius):
         cell = c if cell is None else cell * 3 + c
     valid = d2 <= r * r
     return cell, valid
+
+
+def _pairwise_code(pr, pc, radius):
+    """Cell id with validity folded in: invalid pairs get code 27 (no cell).
+
+    One compare per cell in the caller's loop instead of compare+and+select.
+    """
+    cell, valid = _pairwise_cells(pr, pc, radius)
+    return jnp.where(valid, cell, N_CELLS)
 
 
 def _tiles_overlap(pr, pc, radius):
@@ -122,25 +138,30 @@ def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref, acc_ref, *,
 
     pr = pr_ref[0]                   # (TN, 3)
     pc = pc_ref[0]                   # (3, TM)
-    x = f_ref[0]                     # (TM, Cinp)
+    mmt = jnp.dtype(spec.mm_dtype)
 
     @pl.when(_tiles_overlap(pr, pc, spec.radius))
     def _():
-        cell, valid = _pairwise_cells(pr, pc, spec.radius)
+        x = f_ref[0].astype(mmt)     # (TM, Cinp)
+        code = _pairwise_code(pr, pc, spec.radius)
         for k in range(N_CELLS):
-            mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
-            acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32)
+            mk = (code == k).astype(mmt)
+            acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32,
+                                  precision=_mm_precision(mmt))
 
     @pl.when(j == n_j - 1)
     def _():
         cc = spec.cin_col
-        y = jnp.zeros((spec.tile_n, spec.cout_p), jnp.float32)
+        tn = pr_ref.shape[1]
+        y = jnp.zeros((tn, spec.cout_p), jnp.float32)
         cnts = []
         for k in range(N_CELLS):
             s = acc_ref[k]                       # (TN, Cinp)
             cnt = s[:, cc : cc + 1]              # (TN, 1) neighbor count
-            xbar = s / jnp.maximum(cnt, 1.0)
-            y += jnp.dot(xbar, w_ref[k], preferred_element_type=jnp.float32)
+            xbar = (s / jnp.maximum(cnt, 1.0)).astype(mmt)
+            y += jnp.dot(xbar, w_ref[k].astype(mmt),
+                         preferred_element_type=jnp.float32,
+                         precision=_mm_precision(mmt))
             cnts.append(cnt)
         y_ref[0] = y + b_ref[0][0:1, :]
         cnt_ref[0] = jnp.concatenate(cnts, axis=1)   # (TN, 27)
@@ -162,27 +183,30 @@ def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, dw_ref, acc_ref, *, spec):
 
     pr = pr_ref[0]
     pc = pc_ref[0]
-    x = f_ref[0]
+    mmt = jnp.dtype(spec.mm_dtype)
 
     @pl.when(_tiles_overlap(pr, pc, spec.radius))
     def _():
-        cell, valid = _pairwise_cells(pr, pc, spec.radius)
+        x = f_ref[0].astype(mmt)
+        code = _pairwise_code(pr, pc, spec.radius)
         for k in range(N_CELLS):
-            mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
-            acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32)
+            mk = (code == k).astype(mmt)
+            acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32,
+                                  precision=_mm_precision(mmt))
 
     @pl.when(j == n_j - 1)
     def _():
         cc = spec.cin_col
-        g = g_ref[0]                              # (TN, Coutp)
+        g = g_ref[0].astype(mmt)                  # (TN, Coutp)
         for k in range(N_CELLS):
             s = acc_ref[k]
             cnt = s[:, cc : cc + 1]
-            xbar = s / jnp.maximum(cnt, 1.0)
+            xbar = (s / jnp.maximum(cnt, 1.0)).astype(mmt)
             # (Cinp, Coutp) += xbar^T @ g, contracting the center dim.
             dw_ref[k] += jax.lax.dot_general(
                 xbar, g, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mm_precision(mmt),
             )
 
 
@@ -194,32 +218,37 @@ def _dx_kernel(pr_ref, pc_ref, g_ref, cnt_ref, w_ref, dx_ref, z_ref, *, spec):
     def _():
         z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
 
-    pr = pr_ref[0]                   # (TN, 3) centers
-    pc = pc_ref[0]                   # (3, TM) candidates (dx targets)
+    pr = pr_ref[0]                   # (TNI, 3) centers (inner tile)
+    pc = pc_ref[0]                   # (3, TMO) candidates (dx targets)
+    mmt = jnp.dtype(spec.mm_dtype)
 
     @pl.when(_tiles_overlap(pr, pc, spec.radius))
     def _():
-        g = g_ref[0]                 # (TN, Coutp) upstream grads at centers
-        cnts = cnt_ref[0]            # (TN, 27) forward neighbor counts
-        cell, valid = _pairwise_cells(pr, pc, spec.radius)
-        inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)        # (TN, 27)
+        g = g_ref[0]                 # (TNI, Coutp) upstream grads at centers
+        cnts = cnt_ref[0]            # (TNI, 27) forward neighbor counts
+        code = _pairwise_code(pr, pc, spec.radius)
+        inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)        # (TNI, 27)
         for k in range(N_CELLS):
-            mk = jnp.where(jnp.logical_and(cell == k, valid), 1.0, 0.0).astype(jnp.float32)
-            gk = g * inv_cnt[:, k : k + 1]
-            # (TM, Coutp) += M_k^T @ gk, contracting the center dim.
+            mk = (code == k).astype(mmt)
+            gk = (g * inv_cnt[:, k : k + 1]).astype(mmt)
+            # (TMO, Coutp) += M_k^T @ gk, contracting the center dim.
             z_ref[k] += jax.lax.dot_general(
                 mk, gk, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mm_precision(mmt),
             )
 
     @pl.when(i == n_i - 1)
     def _():
-        dx = jnp.zeros((spec.tile_m, spec.cin_p), jnp.float32)
+        tmo = pc_ref.shape[2]
+        dx = jnp.zeros((tmo, spec.cin_p), jnp.float32)
         for k in range(N_CELLS):
-            # (TM, Cinp) += Z_k @ W_k^T, contracting Coutp.
+            # (TMO, Cinp) += Z_k @ W_k^T, contracting Coutp.
             dx += jax.lax.dot_general(
-                z_ref[k], w_ref[k], (((1,), (1,)), ((), ())),
+                z_ref[k].astype(mmt), w_ref[k].astype(mmt),
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mm_precision(mmt),
             )
         dx_ref[0] = dx
 
@@ -278,25 +307,27 @@ def _dw_call(spec: PwConvSpec, pts_r, pts_c, feats, g):
 
 
 def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
-    tn, tm = spec.tile_n, spec.tile_m
-    grid = (spec.batch, spec.n_points // tm, spec.n_centers // tn)
+    # Roles swapped vs fwd: the reduction dim is centers, so center tiles are
+    # big (amortize the Z-scratch RMW) and candidate-out tiles small.
+    tni, tmo = spec.tile_m, spec.tile_n
+    grid = (spec.batch, spec.n_points // tmo, spec.n_centers // tni)
     return pl.pallas_call(
         functools.partial(_dx_kernel, spec=spec),
         grid=grid,
         in_specs=[
-            _vmem((1, tn, 3), lambda b, jj, ii: (b, ii, 0)),
-            _vmem((1, 3, tm), lambda b, jj, ii: (b, 0, jj)),
-            _vmem((1, tn, spec.cout_p), lambda b, jj, ii: (b, ii, 0)),
-            _vmem((1, tn, N_CELLS), lambda b, jj, ii: (b, ii, 0)),
+            _vmem((1, tni, 3), lambda b, jj, ii: (b, ii, 0)),
+            _vmem((1, 3, tmo), lambda b, jj, ii: (b, 0, jj)),
+            _vmem((1, tni, spec.cout_p), lambda b, jj, ii: (b, ii, 0)),
+            _vmem((1, tni, N_CELLS), lambda b, jj, ii: (b, ii, 0)),
             _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, jj, ii: (0, 0, 0)),
         ],
         out_specs=[
-            _vmem((1, tm, spec.cin_p), lambda b, jj, ii: (b, jj, 0)),
+            _vmem((1, tmo, spec.cin_p), lambda b, jj, ii: (b, jj, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((spec.batch, spec.n_points, spec.cin_p), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((N_CELLS, tm, spec.cout_p), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((N_CELLS, tmo, spec.cout_p), jnp.float32)],
         interpret=spec.interpret,
     )(pts_r, pts_c, g, counts, w)[0]
 

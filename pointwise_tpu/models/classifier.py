@@ -31,6 +31,7 @@ class PointwiseClassifier(nn.Module):
     dropout_rate: float = 0.3
     norm: str = "layer"
     impl: str = "auto"
+    precision: str = "bfloat16"
     use_xyz_features: bool = True
 
     @nn.compact
@@ -43,7 +44,8 @@ class PointwiseClassifier(nn.Module):
         else:
             x = features
         for c, r in zip(self.channels, self.radii):
-            x = PointwiseConvBlock(c, r, impl=self.impl, norm=self.norm)(
+            x = PointwiseConvBlock(c, r, impl=self.impl, norm=self.norm,
+                                   precision=self.precision)(
                 points, x, mask, train=train
             )
         h = masked_pool(x, mask)                      # (B, 2C)

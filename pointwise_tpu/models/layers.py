@@ -17,12 +17,19 @@ from pointwise_tpu.ops.pointwise_conv import pointwise_conv
 
 
 class PointwiseConv(nn.Module):
-    """One pointwise convolution: 27 kernel cells over a radius-r support."""
+    """One pointwise convolution: 27 kernel cells over a radius-r support.
+
+    ``precision='bfloat16'`` (default) runs the kernel's masked matmuls in
+    bf16 with f32 accumulation — the cell masks are exact in bf16, only the
+    features round (~1e-3 rel), which training absorbs; pass 'float32' for
+    bit-level parity work.
+    """
 
     features: int
     radius: float
     use_bias: bool = True
     impl: str = "auto"
+    precision: str = "bfloat16"
 
     @nn.compact
     def __call__(self, points, x, mask=None):
@@ -36,8 +43,12 @@ class PointwiseConv(nn.Module):
             if self.use_bias
             else None
         )
+        kwargs = {} if self.impl.startswith("spatial") else {
+            "precision": self.precision
+        }
         return pointwise_conv(
-            points, x, w, b, radius=self.radius, mask=mask, impl=self.impl
+            points, x, w, b, radius=self.radius, mask=mask, impl=self.impl,
+            **kwargs,
         )
 
 
@@ -48,11 +59,13 @@ class PointwiseConvBlock(nn.Module):
     radius: float
     impl: str = "auto"
     norm: str = "layer"          # 'layer' | 'batch' | 'none'
+    precision: str = "bfloat16"
     activation: Callable = nn.relu
 
     @nn.compact
     def __call__(self, points, x, mask=None, train: bool = False):
-        y = PointwiseConv(self.features, self.radius, impl=self.impl)(points, x, mask)
+        y = PointwiseConv(self.features, self.radius, impl=self.impl,
+                          precision=self.precision)(points, x, mask)
         if self.norm == "layer":
             y = nn.LayerNorm()(y)
         elif self.norm == "batch":

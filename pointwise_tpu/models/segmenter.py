@@ -29,6 +29,7 @@ class PointwiseSegmenter(nn.Module):
     dropout_rate: float = 0.3
     norm: str = "layer"
     impl: str = "auto"
+    precision: str = "bfloat16"
     use_global_context: bool = True
 
     @nn.compact
@@ -37,7 +38,8 @@ class PointwiseSegmenter(nn.Module):
         x = points if features is None else features
         skips = []
         for c, r in zip(self.channels, self.radii):
-            x = PointwiseConvBlock(c, r, impl=self.impl, norm=self.norm)(
+            x = PointwiseConvBlock(c, r, impl=self.impl, norm=self.norm,
+                                   precision=self.precision)(
                 points, x, mask, train=train
             )
             skips.append(x)
@@ -71,6 +73,7 @@ class ShapeNetPartSegmenter(nn.Module):
     dropout_rate: float = 0.3
     norm: str = "layer"
     impl: str = "auto"
+    precision: str = "bfloat16"
 
     @nn.compact
     def __call__(self, points, category, features=None, mask=None, train: bool = False):
@@ -78,7 +81,8 @@ class ShapeNetPartSegmenter(nn.Module):
         x = points if features is None else features
         skips = []
         for c, r in zip(self.channels, self.radii):
-            x = PointwiseConvBlock(c, r, impl=self.impl, norm=self.norm)(
+            x = PointwiseConvBlock(c, r, impl=self.impl, norm=self.norm,
+                                   precision=self.precision)(
                 points, x, mask, train=train
             )
             skips.append(x)

@@ -68,7 +68,8 @@ def pointwise_conv(
     impl: str = "auto",
     interpret: bool | None = None,
     tile_n: int = 128,
-    tile_m: int = 128,
+    tile_m: int | None = None,
+    precision: str = "float32",
 ) -> jnp.ndarray:
     """Pointwise convolution (see ops/reference.py for exact semantics).
 
@@ -131,8 +132,14 @@ def pointwise_conv(
     if weights.shape != (N_CELLS, Cin, Cout):
         raise ValueError(f"weights must be (27, {Cin}, Cout), got {weights.shape}")
 
-    Mp = round_up(M, tile_m)
-    Ncp = round_up(Nc, tile_n)
+    if tile_m is None:
+        # big candidate tiles amortize the accumulator RMW; both padded
+        # sizes are made divisible by both tile shapes (sentinel padding is
+        # skipped by the kernels' bbox early-out, so overshoot is cheap).
+        tile_m = 512 if max(M, Nc) >= 512 else 128
+    pad_to = max(tile_n, tile_m)
+    Mp = round_up(M, pad_to)
+    Ncp = round_up(Nc, pad_to)
     cin_p = round_up(Cin + 1, LANE)
     cout_p = round_up(Cout, LANE)
 
@@ -166,6 +173,7 @@ def pointwise_conv(
         tile_n=tile_n,
         tile_m=tile_m,
         interpret=_default_interpret() if interpret is None else interpret,
+        mm_dtype=precision,
     )
     y_p, _ = pointwise_conv_pallas(spec, ctr, jnp.swapaxes(pts, 1, 2), feats, w, b)
     y = y_p[:, :Nc, :Cout].astype(features.dtype)
