@@ -131,6 +131,46 @@ def eval_segmentation(cfg: SegmentationConfig, args):
     return m
 
 
+def eval_shapenetpart(cfg: SegmentationConfig, args):
+    from pointwise_tpu.data import shapenetpart
+    from pointwise_tpu.models import ShapeNetPartSegmenter
+
+    data = shapenetpart.load_shapenetpart(
+        cfg.data_dir or args.data_dir, "test", cfg.num_points,
+        synthetic_size=64, seed=cfg.seed,
+    )
+    model = ShapeNetPartSegmenter(
+        num_parts=data.num_parts, num_categories=data.num_categories,
+        channels=cfg.channels, radii=cfg.radii, head_dims=cfg.head_dims,
+        dropout_rate=cfg.dropout, norm=cfg.norm, impl=cfg.impl,
+    )
+    sample = (
+        jnp.zeros((cfg.batch_size, cfg.num_points, 3)),
+        jnp.zeros((cfg.batch_size,), jnp.int32),
+    )
+    params = _restore_params(cfg, model, sample, args.checkpoint_dir)
+
+    @jax.jit
+    def logits_fn(params, pts, cat):
+        return model.apply({"params": params}, pts, cat, train=False)
+
+    preds, labs, cats = [], [], []
+    for batch in shapenetpart.batches(data, cfg.batch_size, shuffle=False):
+        lg = logits_fn(params, jnp.asarray(batch["points"]),
+                       jnp.asarray(batch["category"]))
+        preds.append(np.asarray(jnp.argmax(lg, -1)))
+        labs.append(batch["label"])
+        cats.append(batch["category"])
+    pred = np.concatenate(preds)
+    lab = np.concatenate(labs)
+    cat = np.concatenate(cats)
+    acc = float((pred == lab).mean())
+    miou = shapenetpart.category_miou(pred, lab, cat)
+    print(json.dumps({"metric": "shapenetpart", "accuracy": acc,
+                      "instance_miou": miou, "n": len(cat)}), flush=True)
+    return miou
+
+
 def main():
     from pointwise_tpu.utils.runtime import enable_compile_cache
 
@@ -146,6 +186,8 @@ def main():
     print(f"# eval config={args.config} backend={jax.default_backend()}", flush=True)
     if isinstance(cfg, ClassificationConfig):
         eval_classification(cfg, args)
+    elif cfg.name.startswith("shapenetpart"):
+        eval_shapenetpart(cfg, args)
     else:
         eval_segmentation(cfg, args)
 
