@@ -72,6 +72,8 @@ class PwConvSpec:
     tile_m: int = 128   # candidate tile (fwd/dw); center-inner tile (dx)
     interpret: bool = False
     mm_dtype: str = "float32"   # 'float32' | 'bfloat16' matmul inputs
+    use_csr: bool = False       # forward walks only bbox-adjacent tile pairs
+    d_max: int = 16             # CSR degree cap (runtime dense fallback)
     acc_dtype: Any = jnp.float32
 
 
@@ -167,6 +169,53 @@ def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref, acc_ref, *,
         cnt_ref[0] = jnp.concatenate(cnts, axis=1)   # (TN, 27)
 
 
+def _fwd_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, w_ref, b_ref,
+                    y_ref, cnt_ref, acc_ref, *, spec):
+    """CSR forward: grid dim 2 walks only the (<= d_max) candidate tiles the
+    scalar-prefetched adjacency selected for this center tile.  Padded slots
+    re-point the DMA at the previous block (no fetch) and are masked off via
+    the degree test."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    d = pl.program_id(2)
+    n_d = pl.num_programs(2)
+
+    @pl.when(d == 0)
+    def _():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    pr = pr_ref[0]
+    pc = pc_ref[0]
+    mmt = jnp.dtype(spec.mm_dtype)
+    active = jnp.logical_and(d < deg_ref[b, i], _tiles_overlap(pr, pc, spec.radius))
+
+    @pl.when(active)
+    def _():
+        x = f_ref[0].astype(mmt)
+        code = _pairwise_code(pr, pc, spec.radius)
+        for k in range(N_CELLS):
+            mk = (code == k).astype(mmt)
+            acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32,
+                                  precision=_mm_precision(mmt))
+
+    @pl.when(d == n_d - 1)
+    def _():
+        cc = spec.cin_col
+        tn = pr_ref.shape[1]
+        y = jnp.zeros((tn, spec.cout_p), jnp.float32)
+        cnts = []
+        for k in range(N_CELLS):
+            s = acc_ref[k]
+            cnt = s[:, cc : cc + 1]
+            xbar = (s / jnp.maximum(cnt, 1.0)).astype(mmt)
+            y += jnp.dot(xbar, w_ref[k].astype(mmt),
+                         preferred_element_type=jnp.float32,
+                         precision=_mm_precision(mmt))
+            cnts.append(cnt)
+        y_ref[0] = y + b_ref[0][0:1, :]
+        cnt_ref[0] = jnp.concatenate(cnts, axis=1)
+
+
 def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, dw_ref, acc_ref, *, spec):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -257,7 +306,80 @@ def _vmem(shape, imap):
     return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
 
+def _tile_adjacency(spec: PwConvSpec, pts_r, pts_c):
+    """Per-center-tile list of bbox-adjacent candidate tiles (traced values
+    feeding the CSR kernel's scalar prefetch).  Returns (jmap (B,nI,d_max),
+    deg (B,nI), overflowed bool scalar)."""
+    tn, tm, dm = spec.tile_n, spec.tile_m, spec.d_max
+    B = spec.batch
+    n_i = spec.n_centers // tn
+    n_j = spec.n_points // tm
+    tr = pts_r.reshape(B, n_i, tn, 3)
+    lo_i, hi_i = tr.min(axis=2), tr.max(axis=2)              # (B, nI, 3)
+    tc = pts_c.reshape(B, 3, n_j, tm)
+    lo_j = tc.min(axis=3).transpose(0, 2, 1)                 # (B, nJ, 3)
+    hi_j = tc.max(axis=3).transpose(0, 2, 1)
+    gap = jnp.maximum(
+        jnp.maximum(lo_i[:, :, None, :] - hi_j[:, None, :, :],
+                    lo_j[:, None, :, :] - hi_i[:, :, None, :]),
+        0.0,
+    )
+    d2 = jnp.sum(gap * gap, axis=-1)                         # (B, nI, nJ)
+    adj = d2 <= jnp.float32(spec.radius * spec.radius) * 1.0001 + 1e-9
+    deg = jnp.sum(adj, axis=-1).astype(jnp.int32)            # (B, nI)
+    order = jnp.argsort(
+        jnp.logical_not(adj).astype(jnp.int32), axis=-1, stable=True
+    ).astype(jnp.int32)
+    jmap = order[:, :, :dm]
+    # padded slots re-point at the last active tile (no extra DMA; the
+    # degree test masks their compute off)
+    last_idx = jnp.clip(deg - 1, 0, dm - 1)[..., None]
+    last = jnp.take_along_axis(jmap, last_idx, axis=-1)
+    slot = jnp.arange(dm, dtype=jnp.int32)[None, None, :]
+    jmap = jnp.where(slot < deg[..., None], jmap, last)
+    return jmap, deg, jnp.max(deg) > dm
+
+
+def _fwd_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, w, bias):
+    tn, tm = spec.tile_n, spec.tile_m
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(spec.batch, spec.n_centers // tn, spec.d_max),
+        in_specs=[
+            _vmem((1, tn, 3), lambda b, i, d, jm, dg: (b, i, 0)),
+            _vmem((1, 3, tm), lambda b, i, d, jm, dg: (b, 0, jm[b, i, d])),
+            _vmem((1, tm, spec.cin_p), lambda b, i, d, jm, dg: (b, jm[b, i, d], 0)),
+            _vmem((N_CELLS, spec.cin_p, spec.cout_p),
+                  lambda b, i, d, jm, dg: (0, 0, 0)),
+            _vmem((1, 1, spec.cout_p), lambda b, i, d, jm, dg: (0, 0, 0)),
+        ],
+        out_specs=[
+            _vmem((1, tn, spec.cout_p), lambda b, i, d, jm, dg: (b, i, 0)),
+            _vmem((1, tn, N_CELLS), lambda b, i, d, jm, dg: (b, i, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((N_CELLS, tn, spec.cin_p), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_csr, spec=spec),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((spec.batch, spec.n_centers, spec.cout_p), jnp.float32),
+            jax.ShapeDtypeStruct((spec.batch, spec.n_centers, N_CELLS), jnp.float32),
+        ],
+        interpret=spec.interpret,
+    )(jmap, deg, pts_r, pts_c, feats, w, bias)
+
+
 def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
+    if spec.use_csr:
+        jmap, deg, overflowed = _tile_adjacency(spec, pts_r, pts_c)
+        dense_spec = dataclasses.replace(spec, use_csr=False)
+        return jax.lax.cond(
+            overflowed,
+            lambda ops: _fwd_call(dense_spec, *ops),
+            lambda ops: _fwd_call_csr(spec, jmap, deg, *ops),
+            (pts_r, pts_c, feats, w, bias),
+        )
     tn, tm = spec.tile_n, spec.tile_m
     grid = (spec.batch, spec.n_centers // tn, spec.n_points // tm)
     return pl.pallas_call(

@@ -70,6 +70,7 @@ def pointwise_conv(
     tile_n: int = 128,
     tile_m: int | None = None,
     precision: str = "float32",
+    csr: bool | None = None,
 ) -> jnp.ndarray:
     """Pointwise convolution (see ops/reference.py for exact semantics).
 
@@ -162,6 +163,13 @@ def pointwise_conv(
     b = jnp.zeros((Cout,), f32) if bias is None else bias.astype(f32)
     b = jnp.pad(b, (0, cout_p - Cout))[None, None, :]
 
+    # CSR forward: worth it once the candidate-tile walk is long; the
+    # adjacency degree cap falls back to the dense kernel at runtime if a
+    # center tile has more bbox neighbors than d_max (exactness preserved).
+    n_j = Mp // tile_m
+    use_csr = (n_j >= 16) if csr is None else bool(csr)
+    d_max = max(1, min(n_j, max(8, (n_j * 3) // 4)))
+
     spec = PwConvSpec(
         radius=float(radius),
         batch=B,
@@ -174,6 +182,8 @@ def pointwise_conv(
         tile_m=tile_m,
         interpret=_default_interpret() if interpret is None else interpret,
         mm_dtype=precision,
+        use_csr=use_csr,
+        d_max=d_max,
     )
     y_p, _ = pointwise_conv_pallas(spec, ctr, jnp.swapaxes(pts, 1, 2), feats, w, b)
     y = y_p[:, :Nc, :Cout].astype(features.dtype)

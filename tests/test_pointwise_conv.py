@@ -151,3 +151,31 @@ def test_cell_binning_structure():
     k = 2 * 9 + 1 * 3 + 1   # cx=2 (positive x), cy=cz=1 (centered)
     expect = feats[0, 1] @ w[k] + feats[0, 0] @ w[13]
     np.testing.assert_allclose(np.asarray(y[0, 0]), np.asarray(expect), rtol=2e-5, atol=2e-5)
+
+
+def test_csr_forward_matches_reference():
+    # CSR tile-pair walk (scalar-prefetch path) must be exact, including the
+    # runtime dense fallback when a center tile exceeds the degree cap.
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(20), b=2, n=96)
+    y_ref = pointwise_conv_reference(pts, feats, w, bias, radius=0.3)
+    y_csr = pointwise_conv(pts, feats, w, bias, radius=0.3, impl="pallas", csr=True)
+    np.testing.assert_allclose(np.asarray(y_csr), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+    # huge radius -> every tile adjacent -> overflow -> dense fallback
+    y_ref2 = pointwise_conv_reference(pts, feats, w, bias, radius=9.0)
+    y_csr2 = pointwise_conv(pts, feats, w, bias, radius=9.0, impl="pallas", csr=True)
+    np.testing.assert_allclose(np.asarray(y_csr2), np.asarray(y_ref2), rtol=2e-5, atol=2e-5)
+
+
+def test_csr_gradients_match_dense():
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(21), b=1, n=64, cin=4, cout=3)
+
+    def loss(csr):
+        def f(feats_, w_):
+            y = pointwise_conv(pts, feats_, w_, bias, radius=0.4, impl="pallas", csr=csr)
+            return jnp.sum(y ** 2)
+        return f
+
+    g_dense = jax.grad(loss(False), argnums=(0, 1))(feats, w)
+    g_csr = jax.grad(loss(True), argnums=(0, 1))(feats, w)
+    for a, b in zip(g_dense, g_csr):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6)
