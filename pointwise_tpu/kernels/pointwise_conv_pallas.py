@@ -370,8 +370,29 @@ def _fwd_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, w, bias):
     )(jmap, deg, pts_r, pts_c, feats, w, bias)
 
 
+# Mosaic pads and double-buffers the scalar-prefetch windows in SMEM (1MB);
+# keep each CSR call's jmap/deg tables comfortably below that.
+_CSR_SMEM_BUDGET = 60_000
+
+
 def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
     if spec.use_csr:
+        n_i = spec.n_centers // spec.tile_n
+        rows_fit = max(1, _CSR_SMEM_BUDGET // (4 * spec.batch * (spec.d_max + 1)))
+        if n_i > rows_fit:
+            # chunk the centers so each call's scalar tables fit in SMEM;
+            # candidates stay whole, outputs are concatenated.
+            chunk_nc = rows_fit * spec.tile_n
+            sub = dataclasses.replace(spec, n_centers=chunk_nc)
+            ys, cnts = [], []
+            for c0 in range(0, spec.n_centers, chunk_nc):
+                c1 = min(c0 + chunk_nc, spec.n_centers)
+                if c1 - c0 != chunk_nc:
+                    sub = dataclasses.replace(spec, n_centers=c1 - c0)
+                y, cnt = _fwd_call(sub, pts_r[:, c0:c1], pts_c, feats, w, bias)
+                ys.append(y)
+                cnts.append(cnt)
+            return [jnp.concatenate(ys, axis=1), jnp.concatenate(cnts, axis=1)]
         jmap, deg, overflowed = _tile_adjacency(spec, pts_r, pts_c)
         dense_spec = dataclasses.replace(spec, use_csr=False)
         return jax.lax.cond(

@@ -168,7 +168,10 @@ def pointwise_conv(
     # center tile has more bbox neighbors than d_max (exactness preserved).
     n_j = Mp // tile_m
     use_csr = (n_j >= 16) if csr is None else bool(csr)
-    d_max = max(1, min(n_j, max(8, (n_j * 3) // 4)))
+    # degree cap: geometric neighborhoods are bounded regardless of scene
+    # size; overflowing rows trigger the (exact) runtime dense fallback, and
+    # the kernel layer chunks centers so the SMEM tables always fit.
+    d_max = max(1, min(n_j, min(128, max(8, (n_j * 3) // 4))))
 
     spec = PwConvSpec(
         radius=float(radius),

@@ -88,12 +88,15 @@ def stream_apply(
     done = 0
     for b in sorted(groups):
         js = groups[b]
-        for s in range(0, len(js), tile_batch):
-            chunk = js[s : s + tile_batch]
+        # big buckets: shrink the tile batch (bounds device memory and lets
+        # the conv's CSR walk keep its scalar tables within SMEM)
+        tbs = max(1, min(tile_batch, (8192 * tile_batch) // b))
+        for s in range(0, len(js), tbs):
+            chunk = js[s : s + tbs]
             tb = len(chunk)
-            pts = np.zeros((tile_batch, b, 3), np.float32)
-            fts = np.zeros((tile_batch, b, features.shape[-1]), np.float32)
-            msk = np.zeros((tile_batch, b), np.float32)
+            pts = np.zeros((tbs, b, 3), np.float32)
+            fts = np.zeros((tbs, b, features.shape[-1]), np.float32)
+            msk = np.zeros((tbs, b), np.float32)
             for t, (center, _, cand) in enumerate(chunk):
                 m = len(cand)
                 pts[t, :m] = xyz[cand] - center     # translation-invariant
