@@ -221,12 +221,9 @@ def predict_scene_voting(
 
 def iou_metrics(pred: np.ndarray, label: np.ndarray, num_classes: int):
     """Overall accuracy + per-class IoU + mIoU (the reference's eval metrics)."""
-    acc = float((pred == label).mean())
-    ious = []
-    for c in range(num_classes):
-        inter = int(((pred == c) & (label == c)).sum())
-        union = int(((pred == c) | (label == c)).sum())
-        if union > 0:
-            ious.append(inter / union)
-    return {"accuracy": acc, "miou": float(np.mean(ious)) if ious else 0.0,
-            "per_class_iou": ious}
+    from pointwise_tpu.utils.metrics import segmentation_metrics
+
+    m = segmentation_metrics(pred, label, num_classes)
+    return {"accuracy": m["accuracy"], "miou": m["miou"],
+            "per_class_iou": m["per_class_iou"],
+            "mean_class_accuracy": m["mean_class_accuracy"]}

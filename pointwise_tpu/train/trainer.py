@@ -193,7 +193,36 @@ def _to_pure(state: TrainState):
     }
 
 
-def log_metrics(step: int, metrics: dict, *, t0: float | None = None, extra=None):
+class SummaryWriter:
+    """Optional TensorBoard scalars (tf.summary), mirroring the reference's
+    tf.summary logging; no-op when TensorFlow is unavailable."""
+
+    def __init__(self, logdir: str | None):
+        self._writer = None
+        if logdir:
+            try:
+                import tensorflow as tf  # installed in this image
+
+                self._writer = tf.summary.create_file_writer(logdir)
+            except Exception:
+                self._writer = None
+
+    def scalars(self, step: int, metrics: dict, prefix: str = ""):
+        if self._writer is None:
+            return
+        import tensorflow as tf
+
+        with self._writer.as_default():
+            for k, v in metrics.items():
+                try:
+                    tf.summary.scalar(prefix + k, float(v), step=step)
+                except (TypeError, ValueError):
+                    pass
+        self._writer.flush()
+
+
+def log_metrics(step: int, metrics: dict, *, t0: float | None = None, extra=None,
+                writer: "SummaryWriter | None" = None, prefix: str = ""):
     rec = {"step": step}
     rec.update({k: float(v) for k, v in metrics.items()})
     if t0 is not None:
@@ -201,3 +230,5 @@ def log_metrics(step: int, metrics: dict, *, t0: float | None = None, extra=None
     if extra:
         rec.update(extra)
     print(json.dumps(rec), flush=True)
+    if writer is not None:
+        writer.scalars(step, metrics, prefix)

@@ -26,7 +26,7 @@ from pointwise_tpu.models import (
 )
 from pointwise_tpu.train import get_config
 from pointwise_tpu.train.configs import ClassificationConfig, SegmentationConfig
-from pointwise_tpu.train.trainer import Trainer, log_metrics
+from pointwise_tpu.train.trainer import SummaryWriter, Trainer, log_metrics
 
 
 def build_classifier(cfg: ClassificationConfig):
@@ -77,6 +77,7 @@ def train_classification(cfg: ClassificationConfig, args):
     }
     params = jax.jit(lambda r: model.init(r, sample["points"], train=False))(rng)["params"]
     trainer = Trainer(loss_fn, params, cfg.optimizer)
+    writer = SummaryWriter(args.tensorboard)
     if args.resume and cfg.checkpoint_dir:
         start = trainer.restore_checkpoint(cfg.checkpoint_dir)
         print(f"# resumed at step {start}", flush=True)
@@ -92,7 +93,7 @@ def train_classification(cfg: ClassificationConfig, args):
             metrics = trainer.step(batch, rs)
             step += 1
             if step % cfg.log_every == 0 or step == 1:
-                log_metrics(step, jax.device_get(metrics), t0=t0)
+                log_metrics(step, jax.device_get(metrics), t0=t0, writer=writer)
             if step % cfg.eval_every == 0 or step == max_steps:
                 ev = trainer.evaluate(
                     pipeline.prefetch_to_device(
@@ -100,7 +101,8 @@ def train_classification(cfg: ClassificationConfig, args):
                     ),
                     rng,
                 )
-                log_metrics(step, ev, t0=t0, extra={"split": "test"})
+                log_metrics(step, ev, t0=t0, extra={"split": "test"},
+                            writer=writer, prefix="eval/")
             if cfg.checkpoint_dir and step % cfg.checkpoint_every == 0:
                 trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
             if step >= max_steps:
@@ -115,6 +117,11 @@ def train_segmentation(cfg: SegmentationConfig, args):
     from pointwise_tpu.data import s3dis
 
     blocks = s3dis.training_blocks(cfg, data_dir=cfg.data_dir or args.data_dir)
+    # hold out ~10% of blocks for periodic eval
+    n_blocks = len(blocks["points"])
+    n_eval = max(cfg.batch_size, n_blocks // 10)
+    eval_blocks = {k: v[:n_eval] for k, v in blocks.items()}
+    blocks = {k: v[n_eval:] for k, v in blocks.items()}
     model = PointwiseSegmenter(
         num_classes=cfg.num_classes,
         channels=cfg.channels,
@@ -126,9 +133,13 @@ def train_segmentation(cfg: SegmentationConfig, args):
     )
 
     def loss_fn(params, batch, rng, train):
+        pts = batch["points"]
+        if train:
+            rng, rj = jax.random.split(rng)
+            pts = augment.jitter(rj, pts, sigma=0.005, clip=0.02)
         logits = model.apply(
             {"params": params},
-            batch["points"],
+            pts,
             batch["features"],
             batch["mask"],
             train=train,
@@ -145,6 +156,7 @@ def train_segmentation(cfg: SegmentationConfig, args):
         )
     )(rng)["params"]
     trainer = Trainer(loss_fn, params, cfg.optimizer)
+    writer = SummaryWriter(args.tensorboard)
 
     t0 = time.time()
     step = 0
@@ -157,7 +169,19 @@ def train_segmentation(cfg: SegmentationConfig, args):
             metrics = trainer.step(batch, rs)
             step += 1
             if step % cfg.log_every == 0 or step == 1:
-                log_metrics(step, jax.device_get(metrics), t0=t0)
+                log_metrics(step, jax.device_get(metrics), t0=t0, writer=writer)
+            if step % cfg.eval_every == 0 or step == max_steps:
+                ev = trainer.evaluate(
+                    pipeline.prefetch_to_device(
+                        s3dis.block_batches(eval_blocks, cfg.batch_size,
+                                            shuffle=False)
+                    ),
+                    rng,
+                )
+                log_metrics(step, ev, t0=t0, extra={"split": "heldout_blocks"},
+                            writer=writer, prefix="eval/")
+            if cfg.checkpoint_dir and step % cfg.checkpoint_every == 0:
+                trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
             if step >= max_steps:
                 break
         epoch += 1
@@ -236,6 +260,8 @@ def main():
     ap.add_argument("--steps", type=int, default=None, help="override total steps")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--tensorboard", default=None,
+                    help="optional tf.summary logdir")
     args = ap.parse_args()
 
     cfg = get_config(args.config)
