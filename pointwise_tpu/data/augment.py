@@ -141,3 +141,35 @@ def classification_augment(key, points, *, rotate: bool = True):
     points = random_scale(k2, points)
     points = jitter(k3, points)
     return points
+
+
+def farthest_point_sample(key, points, n: int, *extras):
+    """Jittable farthest-point sampling to exactly ``n`` points.
+
+    BASELINE.json north star: "FPS/uniform sampling to N points".  Greedy
+    max-min selection as a lax.fori_loop over a carried min-distance field —
+    O(n * N) vectorized work, static shapes, vmap-able over batches.
+    Returns sampled points (and aligned extras).
+    """
+
+    def one(k, p, *ex):
+        start = jax.random.randint(k, (), 0, p.shape[0])
+        idxs = jnp.zeros((n,), jnp.int32).at[0].set(start)
+        mind2 = jnp.sum((p - p[start]) ** 2, axis=-1)
+
+        def body(i, st):
+            mind2, idxs = st
+            nxt = jnp.argmax(mind2).astype(jnp.int32)
+            idxs = idxs.at[i].set(nxt)
+            d2 = jnp.sum((p - p[nxt]) ** 2, axis=-1)
+            return jnp.minimum(mind2, d2), idxs
+
+        mind2, idxs = jax.lax.fori_loop(1, n, body, (mind2, idxs))
+        return (p[idxs], *[e[idxs] for e in ex])
+
+    if points.ndim == 2:
+        out = one(key, points, *extras)
+        return out if extras else out[0]
+    keys = jax.random.split(key, points.shape[0])
+    out = jax.vmap(one)(keys, points, *extras)
+    return out if extras else out[0]

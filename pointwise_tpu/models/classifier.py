@@ -32,6 +32,9 @@ class PointwiseClassifier(nn.Module):
     norm: str = "layer"
     impl: str = "auto"
     precision: str = "bfloat16"
+    remat: bool = False   # rematerialize conv blocks (memory <- FLOPs);
+                          # NOTE: changes param scope names, so checkpoints
+                          # are tied to the remat setting
     use_xyz_features: bool = True
 
     @nn.compact
@@ -43,10 +46,14 @@ class PointwiseClassifier(nn.Module):
             x = points
         else:
             x = features
+        block_cls = (
+            nn.remat(PointwiseConvBlock, static_argnums=(4,))
+            if self.remat else PointwiseConvBlock
+        )
         for c, r in zip(self.channels, self.radii):
-            x = PointwiseConvBlock(c, r, impl=self.impl, norm=self.norm,
-                                   precision=self.precision)(
-                points, x, mask, train=train
+            x = block_cls(c, r, impl=self.impl, norm=self.norm,
+                          precision=self.precision)(
+                points, x, mask, train
             )
         h = masked_pool(x, mask)                      # (B, 2C)
         for d in self.head_dims:

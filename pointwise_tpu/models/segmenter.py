@@ -30,6 +30,9 @@ class PointwiseSegmenter(nn.Module):
     norm: str = "layer"
     impl: str = "auto"
     precision: str = "bfloat16"
+    remat: bool = False   # rematerialize conv blocks (memory <- FLOPs);
+                          # NOTE: changes param scope names, so checkpoints
+                          # are tied to the remat setting
     use_global_context: bool = True
 
     @nn.compact
@@ -37,10 +40,14 @@ class PointwiseSegmenter(nn.Module):
         """points (B,N,3); features (B,N,C) or None -> xyz; out (B,N,classes)."""
         x = points if features is None else features
         skips = []
+        block_cls = (
+            nn.remat(PointwiseConvBlock, static_argnums=(4,))
+            if self.remat else PointwiseConvBlock
+        )
         for c, r in zip(self.channels, self.radii):
-            x = PointwiseConvBlock(c, r, impl=self.impl, norm=self.norm,
-                                   precision=self.precision)(
-                points, x, mask, train=train
+            x = block_cls(c, r, impl=self.impl, norm=self.norm,
+                          precision=self.precision)(
+                points, x, mask, train
             )
             skips.append(x)
         h = jnp.concatenate(skips, axis=-1)           # (B, N, sum(C))
@@ -74,16 +81,23 @@ class ShapeNetPartSegmenter(nn.Module):
     norm: str = "layer"
     impl: str = "auto"
     precision: str = "bfloat16"
+    remat: bool = False   # rematerialize conv blocks (memory <- FLOPs);
+                          # NOTE: changes param scope names, so checkpoints
+                          # are tied to the remat setting
 
     @nn.compact
     def __call__(self, points, category, features=None, mask=None, train: bool = False):
         """category: (B,) int ids. Returns (B, N, num_parts)."""
         x = points if features is None else features
         skips = []
+        block_cls = (
+            nn.remat(PointwiseConvBlock, static_argnums=(4,))
+            if self.remat else PointwiseConvBlock
+        )
         for c, r in zip(self.channels, self.radii):
-            x = PointwiseConvBlock(c, r, impl=self.impl, norm=self.norm,
-                                   precision=self.precision)(
-                points, x, mask, train=train
+            x = block_cls(c, r, impl=self.impl, norm=self.norm,
+                          precision=self.precision)(
+                points, x, mask, train
             )
             skips.append(x)
         h = jnp.concatenate(skips, axis=-1)

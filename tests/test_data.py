@@ -113,3 +113,27 @@ def test_vote_roundtrip_perfect_predictor():
     assert m["accuracy"] == 1.0
     assert m["miou"] == 1.0
     assert res["covered"].mean() > 0.98
+
+
+def test_farthest_point_sampling_covers_better_than_random():
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (512, 3))
+    k = 32
+    fps = augment.farthest_point_sample(jax.random.PRNGKey(1), pts, k)
+    rnd = augment.sample_points(jax.random.PRNGKey(1), pts, k)
+    assert fps.shape == (k, 3)
+
+    def coverage(sample):
+        d2 = jnp.sum((pts[:, None, :] - sample[None, :, :]) ** 2, -1)
+        return float(jnp.max(jnp.min(d2, axis=1)))  # worst-covered point
+
+    assert coverage(fps) < coverage(rnd)
+    # batched + aligned extras
+    lab = jnp.arange(512)
+    bp, bl = augment.farthest_point_sample(
+        jax.random.PRNGKey(2), jnp.stack([pts, pts]), k, jnp.stack([lab, lab])
+    )
+    assert bp.shape == (2, k, 3) and bl.shape == (2, k)
+    # labels stay aligned with their points
+    np.testing.assert_allclose(
+        np.asarray(bp[0, :, 0]), np.asarray(pts[bl[0], 0]), rtol=1e-6
+    )

@@ -76,7 +76,7 @@ def train_classification(cfg: ClassificationConfig, args):
         "label": jnp.zeros((cfg.batch_size,), jnp.int32),
     }
     params = jax.jit(lambda r: model.init(r, sample["points"], train=False))(rng)["params"]
-    trainer = Trainer(loss_fn, params, cfg.optimizer)
+    trainer = Trainer(loss_fn, params, cfg.optimizer, mesh=_mesh(args))
     writer = SummaryWriter(args.tensorboard)
     if args.resume and cfg.checkpoint_dir:
         start = trainer.restore_checkpoint(cfg.checkpoint_dir)
@@ -155,7 +155,7 @@ def train_segmentation(cfg: SegmentationConfig, args):
             r, sample["points"], sample["features"], sample["mask"], train=False
         )
     )(rng)["params"]
-    trainer = Trainer(loss_fn, params, cfg.optimizer)
+    trainer = Trainer(loss_fn, params, cfg.optimizer, mesh=_mesh(args))
     writer = SummaryWriter(args.tensorboard)
 
     t0 = time.time()
@@ -250,6 +250,17 @@ def train_shapenetpart(cfg: SegmentationConfig, args):
     return trainer
 
 
+def _mesh(args):
+    """Data-parallel mesh over all local devices when --dp is set."""
+    if not getattr(args, "dp", False):
+        return None
+    from pointwise_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    print(f"# data-parallel over {mesh.shape['data']} devices", flush=True)
+    return mesh
+
+
 def main():
     from pointwise_tpu.utils.runtime import enable_compile_cache
 
@@ -262,6 +273,8 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--tensorboard", default=None,
                     help="optional tf.summary logdir")
+    ap.add_argument("--dp", action="store_true",
+                    help="data-parallel over all local devices")
     args = ap.parse_args()
 
     cfg = get_config(args.config)
