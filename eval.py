@@ -63,6 +63,7 @@ def eval_classification(cfg: ClassificationConfig, args):
 
     votes = max(1, args.votes)
     correct = total = 0
+    preds, labs = [], []
     for batch in modelnet.batches(data, cfg.batch_size, shuffle=False):
         pts = jnp.asarray(batch["points"])
         acc_logits = 0.0
@@ -74,10 +75,19 @@ def eval_classification(cfg: ClassificationConfig, args):
             )
             acc_logits = acc_logits + logits_fn(params, pts @ rot)
         pred = np.asarray(jnp.argmax(acc_logits, -1))
+        preds.append(pred)
+        labs.append(batch["label"])
         correct += int((pred == batch["label"]).sum())
         total += len(pred)
     acc = correct / max(total, 1)
+    # mean class accuracy, the second number the reference's eval reports
+    pred = np.concatenate(preds)
+    lab = np.concatenate(labs)
+    from pointwise_tpu.utils.metrics import segmentation_metrics
+
+    mca = segmentation_metrics(pred, lab, cfg.num_classes)["mean_class_accuracy"]
     print(json.dumps({"metric": "classification_accuracy", "value": acc,
+                      "mean_class_accuracy": round(mca, 6),
                       "votes": votes, "n": total}), flush=True)
     return acc
 

@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +73,6 @@ class PwConvSpec:
     mm_dtype: str = "float32"   # 'float32' | 'bfloat16' matmul inputs
     use_csr: bool = False       # forward walks only bbox-adjacent tile pairs
     d_max: int = 16             # CSR degree cap (runtime dense fallback)
-    acc_dtype: Any = jnp.float32
 
 
 def _mm_precision(mm_dtype):
@@ -112,19 +110,31 @@ def _pairwise_code(pr, pc, radius):
     return jnp.where(valid, cell, N_CELLS)
 
 
+# Coordinates at or beyond this magnitude are sentinel padding; bbox
+# computations must ignore them or a tile with interior padding (cell-list
+# layouts) looks adjacent to everything.
+_SENTINEL_CUT = 5.0e5
+
+
 def _tiles_overlap(pr, pc, radius):
     """Conservative test: can any (center, candidate) pair be within radius?
 
     pr (TN, 3) centers, pc (3, TM) candidates.  Axis-aligned bbox gap with a
     small slack; the exact per-pair distance check inside the cell masks
-    remains authoritative, so false positives only cost compute.
+    remains authoritative, so false positives only cost compute.  Sentinel
+    (padding) coordinates are excluded from the boxes.
     """
+    big = jnp.float32(1.0e9)
     d2min = jnp.float32(0.0)
     for a in range(3):
-        lo1 = jnp.min(pr[:, a : a + 1])
-        hi1 = jnp.max(pr[:, a : a + 1])
-        lo2 = jnp.min(pc[a : a + 1, :])
-        hi2 = jnp.max(pc[a : a + 1, :])
+        r1 = pr[:, a : a + 1]
+        r2 = pc[a : a + 1, :]
+        v1 = jnp.abs(r1) < _SENTINEL_CUT
+        v2 = jnp.abs(r2) < _SENTINEL_CUT
+        lo1 = jnp.min(jnp.where(v1, r1, big))
+        hi1 = jnp.max(jnp.where(v1, r1, -big))
+        lo2 = jnp.min(jnp.where(v2, r2, big))
+        hi2 = jnp.max(jnp.where(v2, r2, -big))
         gap = jnp.maximum(jnp.maximum(lo1 - hi2, lo2 - hi1), 0.0)
         d2min = d2min + gap * gap
     return d2min <= jnp.float32(radius * radius) * 1.0001 + 1e-9
@@ -314,11 +324,15 @@ def _tile_adjacency(spec: PwConvSpec, pts_r, pts_c):
     B = spec.batch
     n_i = spec.n_centers // tn
     n_j = spec.n_points // tm
+    big = jnp.float32(1.0e9)
     tr = pts_r.reshape(B, n_i, tn, 3)
-    lo_i, hi_i = tr.min(axis=2), tr.max(axis=2)              # (B, nI, 3)
+    vr = jnp.abs(tr) < _SENTINEL_CUT
+    lo_i = jnp.where(vr, tr, big).min(axis=2)                # (B, nI, 3)
+    hi_i = jnp.where(vr, tr, -big).max(axis=2)
     tc = pts_c.reshape(B, 3, n_j, tm)
-    lo_j = tc.min(axis=3).transpose(0, 2, 1)                 # (B, nJ, 3)
-    hi_j = tc.max(axis=3).transpose(0, 2, 1)
+    vc = jnp.abs(tc) < _SENTINEL_CUT
+    lo_j = jnp.where(vc, tc, big).min(axis=3).transpose(0, 2, 1)   # (B, nJ, 3)
+    hi_j = jnp.where(vc, tc, -big).max(axis=3).transpose(0, 2, 1)
     gap = jnp.maximum(
         jnp.maximum(lo_i[:, :, None, :] - hi_j[:, None, :, :],
                     lo_j[:, None, :, :] - hi_i[:, :, None, :]),

@@ -71,28 +71,17 @@ def spatial_pointwise_conv(
 
 def _ring_conv(points_local, features_local, weights, bias, *, radius, axis,
                mask_local, impl):
-    """Ring pass: rotate candidate slabs around the ring, accumulating the
-    27-cell sums for local centers against each visiting slab.
+    """Ring pass: ppermute candidate slabs around the ring and process them
+    as one concatenated candidate set for the local centers.
 
-    Implementation note: the fused kernel emits finished outputs (it divides
-    by counts and multiplies by W internally), so partial neighborhoods
-    cannot simply be summed.  Instead we accumulate *unnormalized* cell sums
-    and counts by calling the op with identity-like weights — that would
-    need a second op variant.  v1 keeps it simpler and exact: express the
-    ring as a concatenation of K gathered slabs processed as candidates in
-    one call, where the slabs arrive via ppermute instead of all_gather.
-    Memory high-water is 2 slabs instead of the full cloud.
+    The fused kernel emits finished outputs (divides by counts and applies W
+    internally), so partial per-slab results cannot simply be summed; the
+    concatenated-candidates formulation stays exact while the slabs travel
+    over ICI neighbor links instead of an all_gather.  (A future variant can
+    accumulate raw cell sums/counts per slab once the kernel exposes them.)
     """
     n_dev = jax.lax.axis_size(axis)
-    idx = jax.lax.axis_index(axis)
 
-    # Accumulate cell sums/counts across ring steps by exploiting linearity:
-    # y = sum_k W_k (S_k / c_k).  S_k and c_k are sums over candidates, so we
-    # accumulate S and c across slabs, then finish locally.  The public op
-    # doesn't expose S/c, so the ring path calls the kernel's building
-    # blocks via the 'sums' mode: weights=I extracts per-cell averages only
-    # when counts are complete.  To stay exact with the fused op, process
-    # all slabs as one concatenated candidate set: gather-by-ring.
     slabs_p = [points_local]
     slabs_f = [features_local]
     slabs_m = [mask_local] if mask_local is not None else None
@@ -110,7 +99,6 @@ def _ring_conv(points_local, features_local, weights, bias, *, radius, axis,
     pts_all = jnp.concatenate(slabs_p, axis=1)
     feats_all = jnp.concatenate(slabs_f, axis=1)
     mask_all = None if slabs_m is None else jnp.concatenate(slabs_m, axis=1)
-    del idx
     return pointwise_conv(
         pts_all, feats_all, weights, bias,
         radius=radius, mask=mask_all,

@@ -29,6 +29,58 @@ from pointwise_tpu.utils.spatial import morton_code
 
 DEFAULT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
 
+SENTINEL = 1.0e6  # matches the conv kernels' padding coordinate
+
+
+def cell_list_layout(sub_xyz: np.ndarray, cand: np.ndarray, chunk: int = 512,
+                     target_fill: int = 160):
+    """Re-lay candidates so every ``chunk``-slot block holds whole, spatially
+    compact grid cells (sentinel padding in the unused slots).
+
+    Equal-size Morton chunks of a big candidate set have straggler tiles
+    with huge bounding boxes (chunks that cross Morton discontinuities),
+    which wrecks both the kernels' bbox early-out and the CSR adjacency
+    degrees.  Packing whole cells per chunk keeps every candidate tile's
+    bbox cell-sized, so the tile-pair walk collapses to true geometric
+    neighbors.  Cost: a little padding (masked, sentinel-positioned slots
+    are free for the kernels).
+
+    Returns (slot_index int32 (n_slots,), n_slots multiple of chunk) where
+    slot_index[i] is an index into ``cand`` or -1 for padding.
+    """
+    n = len(sub_xyz)
+    ext = sub_xyz.max(0) - sub_xyz.min(0)
+    vol = float(np.prod(np.maximum(ext, 1e-3)))
+    h = max(0.15, (target_fill * vol / max(n, 1)) ** (1.0 / 3.0))
+    grid = GridIndex(sub_xyz, h)
+    starts = grid.cell_starts
+    order = grid.order
+    cells = np.where(np.diff(starts) > 0)[0]
+    # morton-order the cells themselves for locality between chunks
+    nz, ny = int(grid.dims[2]), int(grid.dims[1])
+    coords = np.stack([cells // (nz * ny), (cells // nz) % ny, cells % nz], 1)
+    cells = cells[np.argsort(morton_code(coords.astype(np.float32)), kind="stable")]
+
+    slots = []
+    cur = []
+    cur_len = 0
+    for c in cells:
+        pts_in = order[starts[c] : starts[c + 1]]
+        # oversized cells are split across chunks (still compact: one cell)
+        for s0 in range(0, len(pts_in), chunk):
+            piece = pts_in[s0 : s0 + chunk]
+            if cur_len + len(piece) > chunk:
+                cur.append(np.full(chunk - cur_len, -1, np.int32))
+                slots.append(np.concatenate(cur))
+                cur, cur_len = [], 0
+            cur.append(piece.astype(np.int32))
+            cur_len += len(piece)
+    if cur_len:
+        cur.append(np.full(chunk - cur_len, -1, np.int32))
+        slots.append(np.concatenate(cur))
+    slot_index = np.concatenate(slots) if slots else np.full(chunk, -1, np.int32)
+    return slot_index
+
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
@@ -74,14 +126,17 @@ def stream_apply(
         if len(interior) == 0:
             continue
         cand = grid.query_box(lo - halo, hi + halo + 1e-5)
-        # Morton-sort candidates so the conv kernels' tile early-out fires.
+        # Morton order keeps tiles compact enough for the kernels' bbox
+        # early-out / CSR walk.  (cell_list_layout gives perfectly compact
+        # tiles but its ~1.3x padding inflation measured slower overall.)
         cand = cand[np.argsort(morton_code(xyz[cand]), kind="stable")]
-        jobs.append((lo + 0.5 * tile_size, interior, cand))
+        slot_index = np.arange(len(cand), dtype=np.int32)
+        jobs.append((lo + 0.5 * tile_size, interior, cand, slot_index))
 
-    # group by bucket size
+    # group by bucket size (on the padded slot count)
     groups: dict[int, list] = {}
     for job in jobs:
-        b = _bucket_for(len(job[2]), buckets)
+        b = _bucket_for(len(job[3]), buckets)
         groups.setdefault(b, []).append(job)
 
     out = np.zeros((len(xyz), out_dim), np.float32)
@@ -94,18 +149,23 @@ def stream_apply(
         for s in range(0, len(js), tbs):
             chunk = js[s : s + tbs]
             tb = len(chunk)
-            pts = np.zeros((tbs, b, 3), np.float32)
+            pts = np.full((tbs, b, 3), SENTINEL, np.float32)
             fts = np.zeros((tbs, b, features.shape[-1]), np.float32)
             msk = np.zeros((tbs, b), np.float32)
-            for t, (center, _, cand) in enumerate(chunk):
-                m = len(cand)
-                pts[t, :m] = xyz[cand] - center     # translation-invariant
-                fts[t, :m] = features[cand]
-                msk[t, :m] = 1.0
+            for t, (center, _, cand, slot_index) in enumerate(chunk):
+                live = slot_index >= 0
+                gidx = cand[slot_index[live]]
+                rows = np.where(live)[0]
+                pts[t, rows] = xyz[gidx] - center   # translation-invariant
+                fts[t, rows] = features[gidx]
+                msk[t, rows] = 1.0
             logits = np.asarray(apply_fn(pts, fts, msk), np.float32)
-            for t, (center, interior, cand) in enumerate(chunk):
-                order = np.argsort(cand)
-                pos = order[np.searchsorted(cand[order], interior)]
+            for t, (center, interior, cand, slot_index) in enumerate(chunk):
+                live = slot_index >= 0
+                gidx = cand[slot_index[live]]
+                rows = np.where(live)[0]
+                order = np.argsort(gidx)
+                pos = rows[order[np.searchsorted(gidx[order], interior)]]
                 out[interior] = logits[t, pos]
             done += tb
             if progress:

@@ -23,7 +23,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import time
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -15,7 +15,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pointwise_tpu.data import augment, modelnet, pipeline
 from pointwise_tpu.models import (
