@@ -59,3 +59,27 @@ def test_shapenetpart_h5(tmp_path):
     assert data.points.shape == (6, 512, 3)
     assert data.part.shape == (6, 512)
     assert data.category.shape == (6,)
+
+
+def test_train_cli_with_real_format_archive(tmp_path):
+    # end-to-end: the --data-dir path through the training loop
+    import subprocess
+    import sys
+
+    rng = np.random.RandomState(7)
+    pts = rng.randn(32, 256, 3).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True).max(1, keepdims=True)
+    lab = rng.randint(0, 4, (32, 1))
+    for split in ("train", "test"):
+        with h5py.File(tmp_path / f"ply_{split}0.h5", "w") as h:
+            h["data"] = pts
+            h["label"] = lab
+    env = dict(__import__("os").environ,
+               JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "train.py", "--config", "modelnet40_synthetic",
+         "--data-dir", str(tmp_path), "--steps", "2"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert '"loss"' in out.stdout

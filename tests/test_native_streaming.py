@@ -74,3 +74,30 @@ def test_streaming_matches_direct():
         tile_batch=2,
     )
     np.testing.assert_allclose(streamed, direct, rtol=2e-4, atol=2e-4)
+
+
+def test_streaming_bucket_ladder_invariance():
+    # SURVEY.md section 4 tier 2: the same scene through two bucket ladders
+    # must produce identical outputs (padding/bucketing can't leak).
+    from pointwise_tpu.models import PointwiseSegmenter
+
+    xyz, rgb, _ = synthetic.segmentation_scene(5, num_objects=3,
+                                               points_per_obj=200)
+    model = PointwiseSegmenter(
+        num_classes=4, channels=(8,), radii=(0.4,), head_dims=(8,),
+        impl="reference", dropout_rate=0.0, use_global_context=False,
+    )
+    params = jax.jit(
+        lambda r: model.init(r, jnp.asarray(xyz[None]), jnp.asarray(rgb[None]),
+                             jnp.ones((1, len(xyz))), train=False)
+    )(jax.random.PRNGKey(0))["params"]
+
+    @jax.jit
+    def apply_fn(pts, fts, mask):
+        return model.apply({"params": params}, pts, fts, mask, train=False)
+
+    kw = dict(halo=0.4, tile_size=1.5, out_dim=4)
+    a = stream_apply(apply_fn, xyz, rgb, buckets=(256, 512, 1024, 2048),
+                     tile_batch=2, **kw)
+    b = stream_apply(apply_fn, xyz, rgb, buckets=(2048,), tile_batch=1, **kw)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
