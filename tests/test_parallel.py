@@ -131,3 +131,48 @@ def test_data_parallel_trainer_matches_single():
     p2 = jax.tree.leaves(t_dp.state.params)
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_spmd_seg_train_step_matches_unsharded():
+    import optax
+
+    from pointwise_tpu.models import PointwiseSegmenter, segmentation_loss
+    from pointwise_tpu.parallel.spmd import make_spatial_seg_train_step
+
+    mesh = make_mesh(data=4, space=2)
+    model = PointwiseSegmenter(
+        num_classes=3, channels=(8,), radii=(0.5,), head_dims=(8,),
+        dropout_rate=0.0, impl="spatial:space", use_global_context=False,
+    )
+    ref_model = model.clone(impl="reference")
+    B, N = 8, 64
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    batch = {
+        "points": jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1),
+        "features": jax.random.normal(k[1], (B, N, 6)),
+        "label": jax.random.randint(k[2], (B, N), 0, 3),
+        "mask": jnp.ones((B, N)),
+    }
+    params = ref_model.init(jax.random.PRNGKey(1), batch["points"],
+                            batch["features"], batch["mask"], train=False)["params"]
+    tx = optax.sgd(0.1)
+    opt_state = tx.init(params)
+
+    put, step = make_spatial_seg_train_step(model, tx, mesh)
+    p_s, o_s, b_s = put(jax.tree.map(jnp.copy, params), opt_state, batch)
+    p_s, o_s, loss_s = step(p_s, o_s, b_s)
+
+    # unsharded ground truth
+    def loss_fn(p):
+        logits = ref_model.apply({"params": p}, batch["points"],
+                                 batch["features"], batch["mask"], train=False)
+        return segmentation_loss(logits, batch["label"], batch["mask"])[0]
+
+    loss_u, grads = jax.value_and_grad(loss_fn)(params)
+    upd, _ = tx.update(grads, tx.init(params), params)
+    p_u = optax.apply_updates(params, upd)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_u), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_u), jax.tree.leaves(jax.device_get(p_s))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
