@@ -67,7 +67,7 @@ def pointwise_conv(
     center_mask: jnp.ndarray | None = None,
     impl: str = "auto",
     interpret: bool | None = None,
-    tile_n: int = 128,
+    tile_n: int | None = None,
     tile_m: int | None = None,
     precision: str = "float32",
     csr: bool | None = None,
@@ -133,16 +133,21 @@ def pointwise_conv(
     if weights.shape != (N_CELLS, Cin, Cout):
         raise ValueError(f"weights must be (27, {Cin}, Cout), got {weights.shape}")
 
+    cin_p = round_up(Cin + 1, LANE)
+    cout_p = round_up(Cout, LANE)
     if tile_m is None:
         # big candidate tiles amortize the accumulator RMW; both padded
         # sizes are made divisible by both tile shapes (sentinel padding is
         # skipped by the kernels' bbox early-out, so overshoot is cheap).
         tile_m = 512 if max(M, Nc) >= 512 else 128
+    if tile_n is None:
+        # bigger center tiles amortize finalize cost; keep VMEM bounded
+        # (acc/Z scratch scale with tile_n * channel widths).
+        tile_n = 256 if (max(M, Nc) >= 512 and cin_p <= 128
+                         and cout_p <= 128) else 128
     pad_to = max(tile_n, tile_m)
     Mp = round_up(M, pad_to)
     Ncp = round_up(Nc, pad_to)
-    cin_p = round_up(Cin + 1, LANE)
-    cout_p = round_up(Cout, LANE)
 
     f32 = jnp.float32
     pts = points.astype(f32)
