@@ -44,8 +44,8 @@ def test_streaming_matches_direct():
     # Exactness: tile+halo streaming == full-scene apply, to fp tolerance.
     from pointwise_tpu.models import PointwiseSegmenter
 
-    xyz, rgb, _ = synthetic.segmentation_scene(3, num_objects=4,
-                                               points_per_obj=256)
+    xyz, rgb, _ = synthetic.segmentation_scene(3, num_objects=3,
+                                               points_per_obj=128)
     model = PointwiseSegmenter(
         num_classes=5, channels=(8, 8), radii=(0.25, 0.5), head_dims=(16,),
         impl="reference", dropout_rate=0.0, use_global_context=False,
@@ -68,9 +68,9 @@ def test_streaming_matches_direct():
     streamed = stream_apply(
         apply_fn, xyz, feats,
         halo=0.75,            # sum of radii
-        tile_size=1.5,
+        tile_size=2.0,
         out_dim=5,
-        buckets=(256, 512, 1024, 2048),
+        buckets=(256, 512, 1024),
         tile_batch=2,
     )
     np.testing.assert_allclose(streamed, direct, rtol=2e-4, atol=2e-4)
