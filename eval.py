@@ -92,6 +92,62 @@ def eval_classification(cfg: ClassificationConfig, args):
     return acc
 
 
+def eval_segmentation_streaming(cfg: SegmentationConfig, args, scenes,
+                                feature_mode):
+    """Exact full-scene eval via overlap-save streaming (no block voting).
+
+    Uses a locality-only net (no global context) and halo = sum of radii;
+    per-point logits equal the full-scene forward exactly, so this is the
+    bias-free counterpart of the reference's approximate overlap voting.
+    """
+    import numpy as np
+
+    from pointwise_tpu.streaming import stream_apply
+
+    model = PointwiseSegmenter(
+        num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
+        head_dims=cfg.head_dims, dropout_rate=cfg.dropout, norm=cfg.norm,
+        impl=cfg.impl, use_global_context=False,
+    )
+    tmpl = s3dis.batch_template(cfg)
+    params = _restore_params(
+        cfg, model, (tmpl["points"], tmpl["features"], tmpl["mask"]),
+        args.checkpoint_dir,
+    )
+
+    @jax.jit
+    def apply_fn(pts, fts, mask):
+        return model.apply({"params": params}, pts, fts, mask, train=False)
+
+    halo = float(sum(cfg.radii))
+    all_pred, all_lab = [], []
+    for i, (xyz, rgb, lab) in enumerate(scenes):
+        if feature_mode == "rgb":
+            feats = rgb
+        else:
+            mins = xyz.min(0)
+            span = np.maximum(xyz.max(0) - mins, 1e-6)
+            feats = np.concatenate([rgb, (xyz - mins) / span], axis=1)
+        logits = stream_apply(
+            apply_fn, xyz, feats, halo=halo,
+            tile_size=max(2.0 * halo, cfg.block_size),
+            out_dim=cfg.num_classes,
+        )
+        pred = logits.argmax(axis=1).astype(np.int32)
+        m = s3dis.iou_metrics(pred, lab, cfg.num_classes)
+        print(f"# scene {i} (streaming): acc={m['accuracy']:.4f} "
+              f"miou={m['miou']:.4f}", flush=True)
+        all_pred.append(pred)
+        all_lab.append(lab)
+    m = s3dis.iou_metrics(
+        np.concatenate(all_pred), np.concatenate(all_lab), cfg.num_classes
+    )
+    print(json.dumps({"metric": "segmentation_streaming",
+                      "accuracy": m["accuracy"], "miou": m["miou"],
+                      "scenes": len(scenes)}), flush=True)
+    return m
+
+
 def eval_segmentation(cfg: SegmentationConfig, args):
     if cfg.name.startswith("scenenn"):
         scenes = scenenn.load_scenes(cfg.data_dir or args.data_dir, seed=cfg.seed)
@@ -99,10 +155,12 @@ def eval_segmentation(cfg: SegmentationConfig, args):
     else:
         scenes = s3dis.load_rooms(cfg.data_dir or args.data_dir, seed=cfg.seed)
         feature_mode = "rgb" if cfg.in_features == 3 else "rgb_norm"
+    if args.streaming:
+        return eval_segmentation_streaming(cfg, args, scenes, feature_mode)
     model = PointwiseSegmenter(
         num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
         head_dims=cfg.head_dims, dropout_rate=cfg.dropout, norm=cfg.norm,
-        impl=cfg.impl,
+        impl=cfg.impl, use_global_context=cfg.global_context,
     )
     tmpl = s3dis.batch_template(cfg)
     params = _restore_params(
@@ -191,6 +249,9 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--votes", type=int, default=1,
                     help="rotation votes for classification eval")
+    ap.add_argument("--streaming", action="store_true",
+                    help="segmentation: exact overlap-save streaming instead"
+                         " of block voting (needs a locality-only net)")
     args = ap.parse_args()
     cfg = get_config(args.config)
     print(f"# eval config={args.config} backend={jax.default_backend()}", flush=True)

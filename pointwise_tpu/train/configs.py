@@ -61,6 +61,7 @@ class SegmentationConfig:
     dropout: float = 0.3
     norm: str = "layer"
     impl: str = "auto"
+    global_context: bool = True   # False => locality-only (exact streaming)
     epochs: int = 50
     block_size: float = 1.0         # meters, sliding-block crop
     block_stride: float = 0.5       # training stride; eval overlaps for voting
@@ -84,6 +85,10 @@ _REGISTRY = {
     "s3dis": SegmentationConfig(name="s3dis"),
     "s3dis_synthetic": SegmentationConfig(
         name="s3dis_synthetic", num_classes=5, batch_size=8
+    ),
+    "s3dis_synthetic_local": SegmentationConfig(
+        name="s3dis_synthetic_local", num_classes=5, batch_size=8,
+        global_context=False,
     ),
     # Deep conv stack with growing-but-local radii: receptive field reaches
     # the whole (unit-sphere) object through stacking, not through O(N^2)

@@ -129,6 +129,7 @@ def train_segmentation(cfg: SegmentationConfig, args):
         dropout_rate=cfg.dropout,
         norm=cfg.norm,
         impl=cfg.impl,
+        use_global_context=cfg.global_context,
     )
 
     def loss_fn(params, batch, rng, train):
