@@ -83,9 +83,14 @@ def pointwise_conv(
       mask: optional candidate validity (0 = padding slot).
       centers: optional distinct conv centers (defaults to ``points``).
       center_mask: optional center validity; invalid centers output zeros.
-      impl: 'auto' | 'pallas' | 'reference'.  'auto' picks the Pallas kernel
-        (compiled on TPU, interpreted elsewhere) unless the problem is tiny.
-      interpret: force/disable Pallas interpreter mode (None = auto).
+      impl: 'auto' | 'pallas' | 'reference' | 'spatial[:axis[:strategy]]'.
+        'auto' = the Pallas kernels (compiled on TPU, interpreted elsewhere);
+        'reference' = the dense executable spec; 'spatial' = point-dim
+        sharded self-conv inside shard_map.
+      interpret: force/disable Pallas interpreter mode (None = by backend).
+      tile_n/tile_m: kernel tile overrides (None = adaptive).
+      precision: 'float32' | 'bfloat16' matmul inputs (f32 accumulation).
+      csr: force/disable the CSR tile-pair walk (None = auto by walk length).
 
     Returns:
       (Nc, Cout) or (B, Nc, Cout).
