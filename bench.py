@@ -96,6 +96,47 @@ def bench_train_step(B=32, N=1024, steps=20):
 LAUNCH_LATENCY_S = 0.0008   # axon tunnel per-call round trip (measured)
 
 
+def bench_seg_step(B=8, N=4096, steps=8):
+    """S3DIS-config segmentation train step (sorted blocks, bf16 models)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointwise_tpu.data import s3dis
+    from pointwise_tpu.models import PointwiseSegmenter, segmentation_loss
+    from pointwise_tpu.train.configs import OptimizerConfig, SegmentationConfig
+    from pointwise_tpu.train.trainer import Trainer
+
+    cfg = SegmentationConfig(name="bench", num_classes=5, batch_size=B,
+                             num_points=N)
+    blocks = s3dis.training_blocks(cfg)
+    batch = {k: jnp.asarray(v[:B]) for k, v in blocks.items() if k != "index"}
+    model = PointwiseSegmenter(
+        num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
+        head_dims=cfg.head_dims, dropout_rate=cfg.dropout,
+    )
+
+    def loss_fn(params, b, rng, train):
+        logits = model.apply({"params": params}, b["points"], b["features"],
+                             b["mask"], train=train, rngs={"dropout": rng})
+        loss, acc = segmentation_loss(logits, b["label"], b["mask"])
+        return loss, {"acc": acc}
+
+    params = jax.jit(
+        lambda r: model.init(r, batch["points"], batch["features"],
+                             batch["mask"], train=False)
+    )(jax.random.PRNGKey(0))["params"]
+    trainer = Trainer(loss_fn, params, OptimizerConfig(), donate=True)
+    rng = jax.random.PRNGKey(1)
+    m = trainer.step(batch, rng)
+    _sync(m)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        m = trainer.step(batch, rng)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / steps
+    return B * N / dt, dt
+
+
 def bench_conv_op(B=64, N=1024, cin=64, cout=64, radius=0.5,
                   precision="bfloat16"):
     """Fused conv op fwd+bwd throughput + MXU utilization estimate.
@@ -206,6 +247,13 @@ def main():
     conv = bench_conv_op()
     diag.update({k: (round(v, 4) if isinstance(v, float) else v)
                  for k, v in conv.items()})
+
+    try:
+        seg_pps, seg_dt = bench_seg_step()
+        diag["seg_step_ms"] = round(seg_dt * 1e3, 3)
+        diag["seg_pts_per_s"] = round(seg_pps)
+    except Exception as e:
+        diag["seg_bench_error"] = repr(e)
 
     try:
         tf_pps = bench_tf_cpu_op()
