@@ -164,17 +164,17 @@ def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref, acc_ref, *,
     @pl.when(j == n_j - 1)
     def _():
         cc = spec.cin_col
-        tn = pr_ref.shape[1]
-        y = jnp.zeros((tn, spec.cout_p), jnp.float32)
-        cnts = []
+        xbars, cnts = [], []
         for k in range(N_CELLS):
             s = acc_ref[k]                       # (TN, Cinp)
             cnt = s[:, cc : cc + 1]              # (TN, 1) neighbor count
-            xbar = (s / jnp.maximum(cnt, 1.0)).astype(mmt)
-            y += jnp.dot(xbar, w_ref[k].astype(mmt),
-                         preferred_element_type=jnp.float32,
-                         precision=_mm_precision(mmt))
+            xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
             cnts.append(cnt)
+        # one (TN, 27*Cinp) @ (27*Cinp, Coutp) matmul instead of 27 small ones
+        xcat = jnp.concatenate(xbars, axis=1)
+        wflat = w_ref[...].reshape(N_CELLS * spec.cin_p, spec.cout_p).astype(mmt)
+        y = jnp.dot(xcat, wflat, preferred_element_type=jnp.float32,
+                    precision=_mm_precision(mmt))
         y_ref[0] = y + b_ref[0][0:1, :]
         cnt_ref[0] = jnp.concatenate(cnts, axis=1)   # (TN, 27)
 
@@ -211,19 +211,19 @@ def _fwd_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, w_ref, b_ref,
     @pl.when(d == n_d - 1)
     def _():
         cc = spec.cin_col
-        tn = pr_ref.shape[1]
-        y = jnp.zeros((tn, spec.cout_p), jnp.float32)
-        cnts = []
+        xbars, cnts = [], []
         for k in range(N_CELLS):
-            s = acc_ref[k]
-            cnt = s[:, cc : cc + 1]
-            xbar = (s / jnp.maximum(cnt, 1.0)).astype(mmt)
-            y += jnp.dot(xbar, w_ref[k].astype(mmt),
-                         preferred_element_type=jnp.float32,
-                         precision=_mm_precision(mmt))
+            s = acc_ref[k]                       # (TN, Cinp)
+            cnt = s[:, cc : cc + 1]              # (TN, 1) neighbor count
+            xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
             cnts.append(cnt)
+        # one (TN, 27*Cinp) @ (27*Cinp, Coutp) matmul instead of 27 small ones
+        xcat = jnp.concatenate(xbars, axis=1)
+        wflat = w_ref[...].reshape(N_CELLS * spec.cin_p, spec.cout_p).astype(mmt)
+        y = jnp.dot(xcat, wflat, preferred_element_type=jnp.float32,
+                    precision=_mm_precision(mmt))
         y_ref[0] = y + b_ref[0][0:1, :]
-        cnt_ref[0] = jnp.concatenate(cnts, axis=1)
+        cnt_ref[0] = jnp.concatenate(cnts, axis=1)   # (TN, 27)
 
 
 def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, dw_ref, acc_ref, *, spec):
@@ -257,19 +257,21 @@ def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, dw_ref, acc_ref, *, spec):
     def _():
         cc = spec.cin_col
         g = g_ref[0].astype(mmt)                  # (TN, Coutp)
+        xbars = []
         for k in range(N_CELLS):
             s = acc_ref[k]
             cnt = s[:, cc : cc + 1]
-            xbar = (s / jnp.maximum(cnt, 1.0)).astype(mmt)
-            # (Cinp, Coutp) += xbar^T @ g, contracting the center dim.
-            dw_ref[k] += jax.lax.dot_general(
-                xbar, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_mm_precision(mmt),
-            )
+            xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
+        xcat = jnp.concatenate(xbars, axis=1)     # (TN, 27*Cinp)
+        # (27*Cinp, Coutp) += xcat^T @ g in one contraction over centers
+        dw_ref[...] += jax.lax.dot_general(
+            xcat, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(mmt),
+        ).reshape(N_CELLS, spec.cin_p, spec.cout_p)
 
 
-def _dx_kernel(pr_ref, pc_ref, g_ref, cnt_ref, w_ref, dx_ref, z_ref, *, spec):
+def _dx_kernel(pr_ref, pc_ref, g_ref, cnt_ref, wt_ref, dx_ref, z_ref, *, spec):
     i = pl.program_id(2)             # center-tile index (inner/reduction dim)
     n_i = pl.num_programs(2)
 
@@ -299,17 +301,14 @@ def _dx_kernel(pr_ref, pc_ref, g_ref, cnt_ref, w_ref, dx_ref, z_ref, *, spec):
 
     @pl.when(i == n_i - 1)
     def _():
-        tmo = pc_ref.shape[2]
-        dx = jnp.zeros((tmo, spec.cin_p), jnp.float32)
-        for k in range(N_CELLS):
-            # (TMO, Cinp) += Z_k @ W_k^T, contracting Coutp.
-            dx += jax.lax.dot_general(
-                z_ref[k].astype(mmt), w_ref[k].astype(mmt),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_mm_precision(mmt),
-            )
-        dx_ref[0] = dx
+        # one (TMO, 27*Coutp) @ (27*Coutp, Cinp) matmul; wt is pre-transposed
+        # (27, Coutp, Cinp) by the caller.
+        zcat = jnp.concatenate(
+            [z_ref[k].astype(mmt) for k in range(N_CELLS)], axis=1
+        )
+        wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
+        dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
+                            precision=_mm_precision(mmt))
 
 
 def _vmem(shape, imap):
@@ -467,6 +466,7 @@ def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
     # Roles swapped vs fwd: the reduction dim is centers, so center tiles are
     # big (amortize the Z-scratch RMW) and candidate-out tiles small.
     tni, tmo = spec.tile_m, spec.tile_n
+    wt = jnp.swapaxes(w, 1, 2)   # (27, Coutp, Cinp) for the finalize matmul
     grid = (spec.batch, spec.n_points // tmo, spec.n_centers // tni)
     return pl.pallas_call(
         functools.partial(_dx_kernel, spec=spec),
@@ -476,7 +476,7 @@ def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
             _vmem((1, 3, tmo), lambda b, jj, ii: (b, 0, jj)),
             _vmem((1, tni, spec.cout_p), lambda b, jj, ii: (b, ii, 0)),
             _vmem((1, tni, N_CELLS), lambda b, jj, ii: (b, ii, 0)),
-            _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, jj, ii: (0, 0, 0)),
+            _vmem((N_CELLS, spec.cout_p, spec.cin_p), lambda b, jj, ii: (0, 0, 0)),
         ],
         out_specs=[
             _vmem((1, tmo, spec.cin_p), lambda b, jj, ii: (b, jj, 0)),
@@ -486,7 +486,7 @@ def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
         ],
         scratch_shapes=[pltpu.VMEM((N_CELLS, tmo, spec.cout_p), jnp.float32)],
         interpret=spec.interpret,
-    )(pts_r, pts_c, g, counts, w)[0]
+    )(pts_r, pts_c, g, counts, wt)[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
