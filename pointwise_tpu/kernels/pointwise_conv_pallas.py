@@ -14,8 +14,8 @@ centers against a tile of TM candidate points we
      feature index ``cin`` makes the same matmul produce the per-cell
      neighbor counts for free.
   4. On the last candidate tile the averages ``S_k / max(cnt_k, 1)`` are
-     contracted with the kernel weights ``W_k (Cinp, Coutp)`` — 27 more MXU
-     matmuls — producing the output tile.
+     concatenated and contracted with the flattened kernel weights in one
+     (TN, 27*Cinp) x (27*Cinp, Coutp) MXU matmul, producing the output tile.
 
 Everything is dense masked matmuls on static shapes: no gather, no neighbor
 lists, no data-dependent control flow.  Padding points are placed at a far

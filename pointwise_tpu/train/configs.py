@@ -90,6 +90,11 @@ _REGISTRY = {
         name="s3dis_synthetic_local", num_classes=5, batch_size=8,
         global_context=False,
     ),
+    # tiny smoke config (CI / CPU-mesh SPMD runs)
+    "seg_tiny_local": SegmentationConfig(
+        name="seg_tiny_local", num_classes=5, batch_size=4, num_points=256,
+        global_context=False, log_every=1, eval_every=10_000,
+    ),
     # Deep conv stack with growing-but-local radii: receptive field reaches
     # the whole (unit-sphere) object through stacking, not through O(N^2)
     # global supports — the TPU-friendly way to go deep.

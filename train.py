@@ -261,6 +261,53 @@ def _mesh(args):
     return mesh
 
 
+def train_segmentation_spmd(cfg: SegmentationConfig, args):
+    """Spatially-sharded segmentation training: mesh = (data, space=--sp)."""
+    import optax
+
+    from pointwise_tpu.data import s3dis
+    from pointwise_tpu.parallel import make_mesh
+    from pointwise_tpu.parallel.spmd import make_spatial_seg_train_step
+
+    mesh = make_mesh(space=args.sp)
+    print(f"# spmd mesh data:{mesh.shape['data']} x space:{mesh.shape['space']}",
+          flush=True)
+    blocks = s3dis.training_blocks(cfg, data_dir=cfg.data_dir or args.data_dir)
+    model = PointwiseSegmenter(
+        num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
+        head_dims=cfg.head_dims, dropout_rate=0.0, norm=cfg.norm,
+        impl="spatial:space", use_global_context=False,
+    )
+    init_model = model.clone(impl=cfg.impl)
+    sample = s3dis.batch_template(cfg)
+    params = jax.jit(
+        lambda r: init_model.init(r, sample["points"], sample["features"],
+                                  sample["mask"], train=False)
+    )(jax.random.PRNGKey(cfg.seed))["params"]
+    from pointwise_tpu.train.trainer import make_optimizer
+
+    tx = make_optimizer(cfg.optimizer)
+    opt_state = tx.init(params)
+    put, step = make_spatial_seg_train_step(model, tx, mesh)
+
+    t0 = time.time()
+    n = 0
+    max_steps = args.steps or 100
+    while n < max_steps:
+        for batch in s3dis.block_batches(blocks, cfg.batch_size,
+                                         seed=cfg.seed + n):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if n == 0:
+                params, opt_state, batch = put(params, opt_state, batch)
+            params, opt_state, loss = step(params, opt_state, batch)
+            n += 1
+            if n % cfg.log_every == 0 or n == 1:
+                log_metrics(n, {"loss": float(jax.device_get(loss))}, t0=t0)
+            if n >= max_steps:
+                break
+    return params
+
+
 def main():
     from pointwise_tpu.utils.runtime import enable_compile_cache
 
@@ -275,6 +322,9 @@ def main():
                     help="optional tf.summary logdir")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all local devices")
+    ap.add_argument("--sp", type=int, default=0,
+                    help="spatial shards for segmentation training "
+                         "(mesh = data x space; needs locality-only nets)")
     args = ap.parse_args()
 
     cfg = get_config(args.config)
@@ -286,6 +336,8 @@ def main():
         train_classification(cfg, args)
     elif cfg.name.startswith("shapenetpart"):
         train_shapenetpart(cfg, args)
+    elif args.sp and args.sp > 1:
+        train_segmentation_spmd(cfg, args)
     else:
         train_segmentation(cfg, args)
 
