@@ -78,3 +78,29 @@ def test_shapenetpart_segmenter():
     # category conditioning must matter
     logits2 = model.apply({"params": params}, pts, jnp.array([1, 2]), train=False)
     assert float(jnp.max(jnp.abs(logits - logits2))) > 1e-6
+
+
+def test_batchnorm_mutable_path():
+    # norm='batch' is supported at module level via flax mutable collections
+    # (the bundled Trainer intentionally does not thread batch_stats; the
+    # train CLI rejects the combination with a clear error).
+    model = PointwiseClassifier(
+        num_classes=4, channels=(8,), radii=(0.6,), head_dims=(8,),
+        impl="reference", norm="batch", dropout_rate=0.0,
+    )
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 3), minval=-1, maxval=1)
+    variables = model.init(jax.random.PRNGKey(1), pts, train=False)
+    assert "batch_stats" in variables
+    out, updates = model.apply(variables, pts, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 4)
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(updates["batch_stats"])
+    assert any(
+        float(jnp.max(jnp.abs(a - b))) > 0 for a, b in zip(before, after)
+    )
+    # eval path uses running averages without mutability
+    out2 = model.apply(
+        {"params": variables["params"], "batch_stats": updates["batch_stats"]},
+        pts, train=False,
+    )
+    assert out2.shape == (2, 4)

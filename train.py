@@ -328,6 +328,13 @@ def main():
     args = ap.parse_args()
 
     cfg = get_config(args.config)
+    if cfg.norm == "batch":
+        raise ValueError(
+            "norm='batch' needs flax mutable batch_stats threading, which the "
+            "bundled Trainer does not do; use norm='layer'/'none', or write a "
+            "custom loop with model.apply(..., mutable=['batch_stats']) "
+            "(see tests/test_models.py::test_batchnorm_mutable_path)."
+        )
     if args.checkpoint_dir:
         cfg = dataclasses.replace(cfg, checkpoint_dir=args.checkpoint_dir)
     print(f"# config={args.config} backend={jax.default_backend()} "
