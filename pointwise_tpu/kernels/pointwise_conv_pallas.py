@@ -73,6 +73,22 @@ class PwConvSpec:
     mm_dtype: str = "float32"   # 'float32' | 'bfloat16' matmul inputs
     use_csr: bool = False       # forward walks only bbox-adjacent tile pairs
     d_max: int = 16             # CSR degree cap (runtime dense fallback)
+    # How the 27 cell-membership masks are built (fwd + dW binning):
+    #   'compare' — 27x (code == k) compare+select on the float cell code.
+    #   'const'   — benchmark ablation ONLY (all masks one, wrong results):
+    #               measures the kernel's MXU + pipeline floor.
+    # (A Lagrange-monomial factorization — 29 multiplies instead of 27
+    # compare+selects, recombined at finalize — was implemented and measured
+    # SLOWER on v5e: bf16 VPU multiplies don't beat fused compare+select,
+    # and the 162-plane recombination eats the savings.  See GOLDEN.md.)
+    mask_mode: str = "compare"
+    # Resident forward: grid over (batch, center tile) only — the candidate
+    # walk is unrolled inside the kernel over VALUES (no 27-plane scratch
+    # accumulator, no per-step RMW; the finalize fuses into the same body).
+    # Cuts ~7 MB of VMEM accumulator traffic per candidate tile and lets the
+    # scheduler overlap mask VPU work with the binning matmuls.  Requires the
+    # full (n_points, cin_p) feature block to fit VMEM.
+    resident: bool = False
 
 
 def _mm_precision(mm_dtype):
@@ -81,10 +97,15 @@ def _mm_precision(mm_dtype):
     return jax.lax.Precision.DEFAULT if jnp.dtype(mm_dtype) == jnp.bfloat16 else None
 
 
-def _pairwise_cells(pr, pc, radius):
-    """Cell ids + validity for a (TN, 3) center tile vs (3, TM) candidate tile.
+def _pairwise_code(pr, pc, radius):
+    """Float cell code with validity folded in for a (TN, 3) center tile vs
+    a (3, TM) candidate tile: valid pairs get cell cx*9+cy*3+cz in [0, 27),
+    invalid pairs get 27 (matches no cell).
 
-    Returns (cell int32 (TN, TM), valid bool (TN, TM)).
+    Stays entirely in f32 (cell values are small exact integers) and skips
+    the lower clamp: a valid pair has |rel_axis| <= r, so (rel+r)*inv >= 0;
+    invalid pairs may produce arbitrary (even colliding) codes but are
+    overwritten by the validity select before any compare sees them.
     """
     r = jnp.float32(radius)
     inv = jnp.float32(3.0 / (2.0 * radius))
@@ -95,19 +116,40 @@ def _pairwise_cells(pr, pc, radius):
         pj = pc[a : a + 1, :]        # (1, TM)
         rel = pj - pi                # (TN, TM)
         d2 = rel * rel if d2 is None else d2 + rel * rel
-        c = jnp.clip(jnp.floor((rel + r) * inv), 0.0, 2.0).astype(jnp.int32)
-        cell = c if cell is None else cell * 3 + c
+        c = jnp.minimum(jnp.floor((rel + r) * inv), 2.0)
+        cell = c if cell is None else cell * 3.0 + c
     valid = d2 <= r * r
-    return cell, valid
+    return jnp.where(valid, cell, jnp.float32(N_CELLS))
 
 
-def _pairwise_code(pr, pc, radius):
-    """Cell id with validity folded in: invalid pairs get code 27 (no cell).
+def _foreach_mask(pr, pc, spec, mmt, emit):
+    """Call emit(k, plane) for each of the 27 binning planes, built LAZILY.
 
-    One compare per cell in the caller's loop instead of compare+and+select.
+    Keeping at most a couple of (TN, TM) planes live between matmuls keeps
+    VMEM pressure low.  The 'const' mode is a benchmarking ablation (all
+    masks one — wrong results) that measures the kernel's MXU + pipeline
+    floor with zero mask-construction cost.
     """
-    cell, valid = _pairwise_cells(pr, pc, radius)
-    return jnp.where(valid, cell, N_CELLS)
+    if spec.mask_mode == "const":     # ablation: timing floor, wrong results
+        mk = (pr[:, 0:1] + pc[0:1, :] < jnp.float32(2 * _SENTINEL_CUT)).astype(mmt)
+        for k in range(N_CELLS):
+            emit(k, mk)
+    else:
+        code = _pairwise_code(pr, pc, spec.radius)
+        for k in range(N_CELLS):
+            emit(k, (code == jnp.float32(k)).astype(mmt))
+
+
+def _bin_accumulate(acc_ref, pr, pc, x, spec):
+    """acc[k] += sum_j mask_k[i, j] * x[j, :] for all 27 planes."""
+    mmt = jnp.dtype(spec.mm_dtype)
+    prec = _mm_precision(mmt)
+
+    def emit(k, plane):
+        acc_ref[k] += jnp.dot(plane, x, preferred_element_type=jnp.float32,
+                              precision=prec)
+
+    _foreach_mask(pr, pc, spec, mmt, emit)
 
 
 # Coordinates at or beyond this magnitude are sentinel padding; bbox
@@ -154,19 +196,15 @@ def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref, acc_ref, *,
 
     @pl.when(_tiles_overlap(pr, pc, spec.radius))
     def _():
-        x = f_ref[0].astype(mmt)     # (TM, Cinp)
-        code = _pairwise_code(pr, pc, spec.radius)
-        for k in range(N_CELLS):
-            mk = (code == k).astype(mmt)
-            acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32,
-                                  precision=_mm_precision(mmt))
+        _bin_accumulate(acc_ref, pr, pc, f_ref[0].astype(mmt), spec)
 
     @pl.when(j == n_j - 1)
     def _():
         cc = spec.cin_col
+        sums = [acc_ref[k] for k in range(N_CELLS)]
         xbars, cnts = [], []
         for k in range(N_CELLS):
-            s = acc_ref[k]                       # (TN, Cinp)
+            s = sums[k]                          # (TN, Cinp)
             cnt = s[:, cc : cc + 1]              # (TN, 1) neighbor count
             xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
             cnts.append(cnt)
@@ -177,6 +215,86 @@ def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref, acc_ref, *,
                     precision=_mm_precision(mmt))
         y_ref[0] = y + b_ref[0][0:1, :]
         cnt_ref[0] = jnp.concatenate(cnts, axis=1)   # (TN, 27)
+
+
+def _finalize_tile(sums, w_ref, b_ref, spec, mmt):
+    """Shared finalize: cell sums -> (y_tile, counts_tile)."""
+    cc = spec.cin_col
+    xbars, cnts = [], []
+    for k in range(N_CELLS):
+        s = sums[k]                          # (TN, Cinp)
+        cnt = s[:, cc : cc + 1]              # (TN, 1) neighbor count
+        xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
+        cnts.append(cnt)
+    # one (TN, 27*Cinp) @ (27*Cinp, Coutp) matmul instead of 27 small ones
+    xcat = jnp.concatenate(xbars, axis=1)
+    wflat = w_ref[...].reshape(N_CELLS * spec.cin_p, spec.cout_p).astype(mmt)
+    y = jnp.dot(xcat, wflat, preferred_element_type=jnp.float32,
+                precision=_mm_precision(mmt))
+    return y + b_ref[0][0:1, :], jnp.concatenate(cnts, axis=1)
+
+
+def _fwd_kernel_resident(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref,
+                         *, spec):
+    """Dense forward with the candidate walk unrolled over values.
+
+    Grid is (batch, center_tiles); pc/f blocks are the full candidate set
+    (their index maps are constant in the center dim, so Pallas re-fetches
+    them only when the batch index changes).  Cell sums live in values —
+    no scratch accumulator and no read-modify-write per candidate tile.
+    """
+    pr = pr_ref[0]                   # (TN, 3)
+    mmt = jnp.dtype(spec.mm_dtype)
+    prec = _mm_precision(mmt)
+    tm = spec.tile_m
+    sums = [jnp.zeros((spec.tile_n, spec.cin_p), jnp.float32)
+            for _ in range(N_CELLS)]
+    for j in range(spec.n_points // tm):
+        pc = pc_ref[0][:, j * tm : (j + 1) * tm]
+
+        def contrib(sums, pc=pc, j=j):
+            sums = list(sums)
+            x = f_ref[0][j * tm : (j + 1) * tm].astype(mmt)
+
+            def emit(k, plane):
+                sums[k] = sums[k] + jnp.dot(
+                    plane, x, preferred_element_type=jnp.float32,
+                    precision=prec)
+
+            _foreach_mask(pr, pc, spec, mmt, emit)
+            return tuple(sums)
+
+        sums = list(jax.lax.cond(
+            _tiles_overlap(pr, pc, spec.radius),
+            contrib, lambda s: tuple(s), tuple(sums)))
+    y, cnts = _finalize_tile(sums, w_ref, b_ref, spec, mmt)
+    y_ref[0] = y
+    cnt_ref[0] = cnts
+
+
+def _fwd_call_resident(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
+    tn = spec.tile_n
+    grid = (spec.batch, spec.n_centers // tn)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_resident, spec=spec),
+        grid=grid,
+        in_specs=[
+            _vmem((1, tn, 3), lambda b, i: (b, i, 0)),
+            _vmem((1, 3, spec.n_points), lambda b, i: (b, 0, 0)),
+            _vmem((1, spec.n_points, spec.cin_p), lambda b, i: (b, 0, 0)),
+            _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, i: (0, 0, 0)),
+            _vmem((1, 1, spec.cout_p), lambda b, i: (0, 0, 0)),
+        ],
+        out_specs=[
+            _vmem((1, tn, spec.cout_p), lambda b, i: (b, i, 0)),
+            _vmem((1, tn, N_CELLS), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((spec.batch, spec.n_centers, spec.cout_p), jnp.float32),
+            jax.ShapeDtypeStruct((spec.batch, spec.n_centers, N_CELLS), jnp.float32),
+        ],
+        interpret=spec.interpret,
+    )(pts_r, pts_c, feats, w, bias)
 
 
 def _fwd_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, w_ref, b_ref,
@@ -201,19 +319,15 @@ def _fwd_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, w_ref, b_ref,
 
     @pl.when(active)
     def _():
-        x = f_ref[0].astype(mmt)
-        code = _pairwise_code(pr, pc, spec.radius)
-        for k in range(N_CELLS):
-            mk = (code == k).astype(mmt)
-            acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32,
-                                  precision=_mm_precision(mmt))
+        _bin_accumulate(acc_ref, pr, pc, f_ref[0].astype(mmt), spec)
 
     @pl.when(d == n_d - 1)
     def _():
         cc = spec.cin_col
+        sums = [acc_ref[k] for k in range(N_CELLS)]
         xbars, cnts = [], []
         for k in range(N_CELLS):
-            s = acc_ref[k]                       # (TN, Cinp)
+            s = sums[k]                          # (TN, Cinp)
             cnt = s[:, cc : cc + 1]              # (TN, 1) neighbor count
             xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
             cnts.append(cnt)
@@ -246,20 +360,16 @@ def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, dw_ref, acc_ref, *, spec):
 
     @pl.when(_tiles_overlap(pr, pc, spec.radius))
     def _():
-        x = f_ref[0].astype(mmt)
-        code = _pairwise_code(pr, pc, spec.radius)
-        for k in range(N_CELLS):
-            mk = (code == k).astype(mmt)
-            acc_ref[k] += jnp.dot(mk, x, preferred_element_type=jnp.float32,
-                                  precision=_mm_precision(mmt))
+        _bin_accumulate(acc_ref, pr, pc, f_ref[0].astype(mmt), spec)
 
     @pl.when(j == n_j - 1)
     def _():
         cc = spec.cin_col
         g = g_ref[0].astype(mmt)                  # (TN, Coutp)
+        sums = [acc_ref[k] for k in range(N_CELLS)]
         xbars = []
         for k in range(N_CELLS):
-            s = acc_ref[k]
+            s = sums[k]
             cnt = s[:, cc : cc + 1]
             xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
         xcat = jnp.concatenate(xbars, axis=1)     # (TN, 27*Cinp)
@@ -414,6 +524,8 @@ def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
             lambda ops: _fwd_call_csr(spec, jmap, deg, *ops),
             (pts_r, pts_c, feats, w, bias),
         )
+    if spec.resident:
+        return _fwd_call_resident(spec, pts_r, pts_c, feats, w, bias)
     tn, tm = spec.tile_n, spec.tile_m
     grid = (spec.batch, spec.n_centers // tn, spec.n_points // tm)
     return pl.pallas_call(
@@ -519,7 +631,7 @@ def _pw_bwd(spec, res, cts):
     return (
         jnp.zeros_like(pts_r),
         jnp.zeros_like(pts_c),
-        dx,
+        dx.astype(feats.dtype),   # feats may arrive pre-cast to bf16
         dw,
         dbias,
     )

@@ -71,6 +71,7 @@ def pointwise_conv(
     tile_m: int | None = None,
     precision: str = "float32",
     csr: bool | None = None,
+    mask_mode: str | None = None,
 ) -> jnp.ndarray:
     """Pointwise convolution (see ops/reference.py for exact semantics).
 
@@ -91,6 +92,8 @@ def pointwise_conv(
       tile_n/tile_m: kernel tile overrides (None = adaptive).
       precision: 'float32' | 'bfloat16' matmul inputs (f32 accumulation).
       csr: force/disable the CSR tile-pair walk (None = auto by walk length).
+      mask_mode: binning-mask construction; 'compare' (default, exact) or
+        'const' (benchmark-only ablation with wrong results).
 
     Returns:
       (Nc, Cout) or (B, Nc, Cout).
@@ -165,7 +168,11 @@ def pointwise_conv(
         ctr = jnp.where(center_mask.astype(bool)[..., None], ctr, -SENTINEL)
     ctr = jnp.pad(ctr, ((0, 0), (0, Ncp - Nc), (0, 0)), constant_values=-SENTINEL)
 
-    feats = features.astype(f32)
+    # Features travel to the kernel already in the matmul dtype: the kernels
+    # cast to mm_dtype before every binning matmul anyway, so pre-casting is
+    # numerically identical and halves the feature DMA for bf16.
+    feat_t = jnp.bfloat16 if precision == "bfloat16" else f32
+    feats = features.astype(feat_t)
     feats = jnp.pad(feats, ((0, 0), (0, Mp - M), (0, cin_p - Cin)))
     feats = feats.at[:, :, Cin].set(1.0)
 
@@ -183,6 +190,18 @@ def pointwise_conv(
     # the kernel layer chunks centers so the SMEM tables always fit.
     d_max = max(1, min(n_j, min(128, max(8, (n_j * 3) // 4))))
 
+    if mask_mode is None:
+        mask_mode = "compare"
+
+    # Resident forward (no accumulator scratch, fused finalize) whenever the
+    # full candidate block fits comfortably in VMEM next to the cell sums.
+    feat_bytes = 2 if precision == "bfloat16" else 4
+    resident = (
+        not use_csr
+        and Mp * cin_p * feat_bytes <= (4 << 20)
+        and N_CELLS * tile_n * cin_p * 4 <= (4 << 20)
+    )
+
     spec = PwConvSpec(
         radius=float(radius),
         batch=B,
@@ -197,6 +216,8 @@ def pointwise_conv(
         mm_dtype=precision,
         use_csr=use_csr,
         d_max=d_max,
+        mask_mode=mask_mode,
+        resident=resident,
     )
     y_p, _ = pointwise_conv_pallas(spec, ctr, jnp.swapaxes(pts, 1, 2), feats, w, b)
     y = y_p[:, :Nc, :Cout].astype(features.dtype)
