@@ -242,6 +242,11 @@ def _fwd_kernel_resident(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref,
     (their index maps are constant in the center dim, so Pallas re-fetches
     them only when the batch index changes).  Cell sums live in values —
     no scratch accumulator and no read-modify-write per candidate tile.
+
+    Deliberately NO per-tile bbox early-out here: a lax.cond around the
+    27-plane value accumulation copies its multi-MB carries and measured
+    SLOWER than just computing every pair (sparse walks belong to the CSR
+    kernel, which skips via the grid instead of in-body branches).
     """
     pr = pr_ref[0]                   # (TN, 3)
     mmt = jnp.dtype(spec.mm_dtype)
@@ -251,22 +256,13 @@ def _fwd_kernel_resident(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref,
             for _ in range(N_CELLS)]
     for j in range(spec.n_points // tm):
         pc = pc_ref[0][:, j * tm : (j + 1) * tm]
+        x = f_ref[0][j * tm : (j + 1) * tm].astype(mmt)
 
-        def contrib(sums, pc=pc, j=j):
-            sums = list(sums)
-            x = f_ref[0][j * tm : (j + 1) * tm].astype(mmt)
+        def emit(k, plane):
+            sums[k] = sums[k] + jnp.dot(
+                plane, x, preferred_element_type=jnp.float32, precision=prec)
 
-            def emit(k, plane):
-                sums[k] = sums[k] + jnp.dot(
-                    plane, x, preferred_element_type=jnp.float32,
-                    precision=prec)
-
-            _foreach_mask(pr, pc, spec, mmt, emit)
-            return tuple(sums)
-
-        sums = list(jax.lax.cond(
-            _tiles_overlap(pr, pc, spec.radius),
-            contrib, lambda s: tuple(s), tuple(sums)))
+        _foreach_mask(pr, pc, spec, mmt, emit)
     y, cnts = _finalize_tile(sums, w_ref, b_ref, spec, mmt)
     y_ref[0] = y
     cnt_ref[0] = cnts
@@ -295,6 +291,126 @@ def _fwd_call_resident(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
         ],
         interpret=spec.interpret,
     )(pts_r, pts_c, feats, w, bias)
+
+
+def _dw_kernel_resident(pr_ref, pc_ref, f_ref, g_ref, dw_ref, *, spec):
+    """dW with the candidate walk in values (grid (batch, center_tiles)).
+
+    The (27, Cinp, Coutp) output block has a constant index map, so it stays
+    resident in VMEM across the whole grid and accumulates the per-center-
+    tile contributions ``xcat^T @ g``.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    pr = pr_ref[0]
+    mmt = jnp.dtype(spec.mm_dtype)
+    prec = _mm_precision(mmt)
+    tm = spec.tile_m
+    sums = [jnp.zeros((spec.tile_n, spec.cin_p), jnp.float32)
+            for _ in range(N_CELLS)]
+    for j in range(spec.n_points // tm):
+        pc = pc_ref[0][:, j * tm : (j + 1) * tm]
+        x = f_ref[0][j * tm : (j + 1) * tm].astype(mmt)
+
+        def emit(k, plane):
+            sums[k] = sums[k] + jnp.dot(
+                plane, x, preferred_element_type=jnp.float32, precision=prec)
+
+        _foreach_mask(pr, pc, spec, mmt, emit)
+    cc = spec.cin_col
+    g = g_ref[0].astype(mmt)                      # (TN, Coutp)
+    xbars = []
+    for k in range(N_CELLS):
+        cnt = sums[k][:, cc : cc + 1]
+        xbars.append((sums[k] / jnp.maximum(cnt, 1.0)).astype(mmt))
+    xcat = jnp.concatenate(xbars, axis=1)         # (TN, 27*Cinp)
+    dw_ref[...] += jax.lax.dot_general(
+        xcat, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).reshape(N_CELLS, spec.cin_p, spec.cout_p)
+
+
+def _dw_call_resident(spec: PwConvSpec, pts_r, pts_c, feats, g):
+    tn = spec.tile_n
+    grid = (spec.batch, spec.n_centers // tn)
+    return pl.pallas_call(
+        functools.partial(_dw_kernel_resident, spec=spec),
+        grid=grid,
+        in_specs=[
+            _vmem((1, tn, 3), lambda b, i: (b, i, 0)),
+            _vmem((1, 3, spec.n_points), lambda b, i: (b, 0, 0)),
+            _vmem((1, spec.n_points, spec.cin_p), lambda b, i: (b, 0, 0)),
+            _vmem((1, tn, spec.cout_p), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=[
+            _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, i: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_CELLS, spec.cin_p, spec.cout_p), jnp.float32),
+        ],
+        interpret=spec.interpret,
+    )(pts_r, pts_c, feats, g)[0]
+
+
+def _dx_kernel_resident(pr_ref, pc_ref, g_ref, cnt_ref, wt_ref, dx_ref, *, spec):
+    """dX with the center walk in values (grid (batch, candidate_tiles)).
+
+    For each candidate-output tile, walk all center tiles accumulating
+    ``Z_k += M_k^T @ (g / cnt_k)`` in values, then project through the
+    transposed weights in one (TMO, 27*Coutp) @ (27*Coutp, Cinp) matmul.
+    """
+    pc = pc_ref[0]                   # (3, TMO) candidates (dx targets)
+    mmt = jnp.dtype(spec.mm_dtype)
+    prec = _mm_precision(mmt)
+    tni = spec.tile_m                # center tile size along the reduction
+    tmo = spec.tile_n
+    z = [jnp.zeros((tmo, spec.cout_p), jnp.float32) for _ in range(N_CELLS)]
+    for i in range(spec.n_centers // tni):
+        pr = pr_ref[0][i * tni : (i + 1) * tni]
+        g = g_ref[0][i * tni : (i + 1) * tni]               # (TNI, Coutp)
+        cnts = cnt_ref[0][i * tni : (i + 1) * tni]          # (TNI, 27)
+        inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)
+
+        def emit(k, plane, g=g, inv_cnt=inv_cnt):
+            gk = (g * inv_cnt[:, k : k + 1]).astype(mmt)
+            z[k] = z[k] + jax.lax.dot_general(
+                plane, gk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+        _foreach_mask(pr, pc, spec, mmt, emit)
+    zcat = jnp.concatenate([t.astype(mmt) for t in z], axis=1)
+    wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
+    dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
+                        precision=prec)
+
+
+def _dx_call_resident(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
+    tni, tmo = spec.tile_m, spec.tile_n
+    wt = jnp.swapaxes(w, 1, 2)   # (27, Coutp, Cinp)
+    grid = (spec.batch, spec.n_points // tmo)
+    return pl.pallas_call(
+        functools.partial(_dx_kernel_resident, spec=spec),
+        grid=grid,
+        in_specs=[
+            _vmem((1, spec.n_centers, 3), lambda b, jj: (b, 0, 0)),
+            _vmem((1, 3, tmo), lambda b, jj: (b, 0, jj)),
+            _vmem((1, spec.n_centers, spec.cout_p), lambda b, jj: (b, 0, 0)),
+            _vmem((1, spec.n_centers, N_CELLS), lambda b, jj: (b, 0, 0)),
+            _vmem((N_CELLS, spec.cout_p, spec.cin_p), lambda b, jj: (0, 0, 0)),
+        ],
+        out_specs=[
+            _vmem((1, tmo, spec.cin_p), lambda b, jj: (b, jj, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((spec.batch, spec.n_points, spec.cin_p), jnp.float32),
+        ],
+        interpret=spec.interpret,
+    )(pts_r, pts_c, g, counts, wt)[0]
 
 
 def _fwd_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, w_ref, b_ref,
@@ -552,6 +668,8 @@ def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
 
 
 def _dw_call(spec: PwConvSpec, pts_r, pts_c, feats, g):
+    if spec.resident:
+        return _dw_call_resident(spec, pts_r, pts_c, feats, g)
     tn, tm = spec.tile_n, spec.tile_m
     grid = (spec.batch, spec.n_centers // tn, spec.n_points // tm)
     return pl.pallas_call(
@@ -575,6 +693,12 @@ def _dw_call(spec: PwConvSpec, pts_r, pts_c, feats, g):
 
 
 def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
+    # Resident dX only pays off for short center walks: at 8+ unrolled
+    # center tiles the scheduler's value liveness blows scoped VMEM (45 MB
+    # at the 4096-pt seg shape) and the grid kernel with its Z scratch is
+    # faster (measured 9.7 vs 10.2 ms).
+    if spec.resident and spec.n_centers // spec.tile_m <= 4:
+        return _dx_call_resident(spec, pts_r, pts_c, g, counts, w)
     # Roles swapped vs fwd: the reduction dim is centers, so center tiles are
     # big (amortize the Z-scratch RMW) and candidate-out tiles small.
     tni, tmo = spec.tile_m, spec.tile_n

@@ -200,6 +200,7 @@ def pointwise_conv(
         not use_csr
         and Mp * cin_p * feat_bytes <= (4 << 20)
         and N_CELLS * tile_n * cin_p * 4 <= (4 << 20)
+        and Ncp * (cout_p + N_CELLS) * 4 <= (4 << 20)  # dx: resident g+counts
     )
 
     spec = PwConvSpec(
