@@ -157,6 +157,12 @@ def _bin_accumulate(acc_ref, pr, pc, x, spec):
 # layouts) looks adjacent to everything.
 _SENTINEL_CUT = 5.0e5
 
+# Trace-time instrumentation: how often each kernel family was staged.
+# Tests use this to assert the CSR grids are actually taken (a runtime
+# dense FALLBACK inside lax.cond does not reset these — pair with the
+# adjacency overflow flag to prove the CSR branch executed).
+_TRACE_COUNTS = {"fwd_csr": 0, "dw_csr": 0, "dx_csr": 0}
+
 
 def _tiles_overlap(pr, pc, radius):
     """Conservative test: can any (center, candidate) pair be within radius?
@@ -456,6 +462,149 @@ def _fwd_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, w_ref, b_ref,
         cnt_ref[0] = jnp.concatenate(cnts, axis=1)   # (TN, 27)
 
 
+def _dw_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, g_ref, dw_ref,
+                   acc_ref, *, spec):
+    """CSR dW: grid dim 2 walks only the candidate tiles the scalar-prefetched
+    adjacency selected for this center tile (same walk as the CSR forward)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    d = pl.program_id(2)
+    n_d = pl.num_programs(2)
+
+    @pl.when(jnp.logical_and(jnp.logical_and(b == 0, i == 0), d == 0))
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    @pl.when(d == 0)
+    def _():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    pr = pr_ref[0]
+    pc = pc_ref[0]
+    mmt = jnp.dtype(spec.mm_dtype)
+
+    @pl.when(d < deg_ref[b, i])
+    def _():
+        _bin_accumulate(acc_ref, pr, pc, f_ref[0].astype(mmt), spec)
+
+    @pl.when(d == n_d - 1)
+    def _():
+        cc = spec.cin_col
+        g = g_ref[0].astype(mmt)                  # (TN, Coutp)
+        xbars = []
+        for k in range(N_CELLS):
+            s = acc_ref[k]
+            cnt = s[:, cc : cc + 1]
+            xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
+        xcat = jnp.concatenate(xbars, axis=1)     # (TN, 27*Cinp)
+        dw_ref[...] += jax.lax.dot_general(
+            xcat, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(mmt),
+        ).reshape(N_CELLS, spec.cin_p, spec.cout_p)
+
+
+def _dw_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, g):
+    tn, tm = spec.tile_n, spec.tile_m
+    dm = jmap.shape[-1]
+    _TRACE_COUNTS["dw_csr"] += 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(spec.batch, spec.n_centers // tn, dm),
+        in_specs=[
+            _vmem((1, tn, 3), lambda b, i, d, jm, dg: (b, i, 0)),
+            _vmem((1, 3, tm), lambda b, i, d, jm, dg: (b, 0, jm[b, i, d])),
+            _vmem((1, tm, spec.cin_p), lambda b, i, d, jm, dg: (b, jm[b, i, d], 0)),
+            _vmem((1, tn, spec.cout_p), lambda b, i, d, jm, dg: (b, i, 0)),
+        ],
+        out_specs=[
+            _vmem((N_CELLS, spec.cin_p, spec.cout_p),
+                  lambda b, i, d, jm, dg: (0, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((N_CELLS, tn, spec.cin_p), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_dw_kernel_csr, spec=spec),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N_CELLS, spec.cin_p, spec.cout_p), jnp.float32),
+        ],
+        interpret=spec.interpret,
+    )(jmap, deg, pts_r, pts_c, feats, g)[0]
+
+
+def _dx_kernel_csr(imap_ref, deg_ref, pr_ref, pc_ref, g_ref, cnt_ref, wt_ref,
+                   dx_ref, z_ref, *, spec):
+    """CSR dX: for each candidate-output tile, grid dim 2 walks only the
+    bbox-adjacent center tiles (transposed adjacency)."""
+    b = pl.program_id(0)
+    jj = pl.program_id(1)
+    d = pl.program_id(2)
+    n_d = pl.num_programs(2)
+
+    @pl.when(d == 0)
+    def _():
+        z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
+
+    pr = pr_ref[0]                   # (TNI, 3) centers (inner tile)
+    pc = pc_ref[0]                   # (3, TMO) candidates (dx targets)
+    mmt = jnp.dtype(spec.mm_dtype)
+
+    @pl.when(d < deg_ref[b, jj])
+    def _():
+        g = g_ref[0]                 # (TNI, Coutp) upstream grads at centers
+        cnts = cnt_ref[0]            # (TNI, 27) forward neighbor counts
+        code = _pairwise_code(pr, pc, spec.radius)
+        inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)        # (TNI, 27)
+        for k in range(N_CELLS):
+            mk = (code == k).astype(mmt)
+            gk = (g * inv_cnt[:, k : k + 1]).astype(mmt)
+            z_ref[k] += jax.lax.dot_general(
+                mk, gk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(mmt),
+            )
+
+    @pl.when(d == n_d - 1)
+    def _():
+        zcat = jnp.concatenate(
+            [z_ref[k].astype(mmt) for k in range(N_CELLS)], axis=1
+        )
+        wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
+        dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
+                            precision=_mm_precision(mmt))
+
+
+def _dx_call_csr(spec: PwConvSpec, imap, deg, pts_r, pts_c, g, counts, wt):
+    tni, tmo = spec.tile_m, spec.tile_n
+    dm = imap.shape[-1]
+    _TRACE_COUNTS["dx_csr"] += 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(spec.batch, spec.n_points // tmo, dm),
+        in_specs=[
+            _vmem((1, tni, 3), lambda b, jj, d, im, dg: (b, im[b, jj, d], 0)),
+            _vmem((1, 3, tmo), lambda b, jj, d, im, dg: (b, 0, jj)),
+            _vmem((1, tni, spec.cout_p), lambda b, jj, d, im, dg: (b, im[b, jj, d], 0)),
+            _vmem((1, tni, N_CELLS), lambda b, jj, d, im, dg: (b, im[b, jj, d], 0)),
+            _vmem((N_CELLS, spec.cout_p, spec.cin_p),
+                  lambda b, jj, d, im, dg: (0, 0, 0)),
+        ],
+        out_specs=[
+            _vmem((1, tmo, spec.cin_p), lambda b, jj, d, im, dg: (b, jj, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((N_CELLS, tmo, spec.cout_p), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_dx_kernel_csr, spec=spec),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((spec.batch, spec.n_points, spec.cin_p), jnp.float32),
+        ],
+        interpret=spec.interpret,
+    )(imap, deg, pts_r, pts_c, g, counts, wt)[0]
+
+
 def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, dw_ref, acc_ref, *, spec):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -541,31 +690,39 @@ def _vmem(shape, imap):
     return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
 
-def _tile_adjacency(spec: PwConvSpec, pts_r, pts_c):
-    """Per-center-tile list of bbox-adjacent candidate tiles (traced values
-    feeding the CSR kernel's scalar prefetch).  Returns (jmap (B,nI,d_max),
-    deg (B,nI), overflowed bool scalar)."""
-    tn, tm, dm = spec.tile_n, spec.tile_m, spec.d_max
-    B = spec.batch
-    n_i = spec.n_centers // tn
-    n_j = spec.n_points // tm
+def _row_tile_boxes(pts, tile):
+    """Sentinel-aware per-tile bboxes of (B, N, 3) points; (B, n, 3) lo/hi."""
+    B, N, _ = pts.shape
     big = jnp.float32(1.0e9)
-    tr = pts_r.reshape(B, n_i, tn, 3)
-    vr = jnp.abs(tr) < _SENTINEL_CUT
-    lo_i = jnp.where(vr, tr, big).min(axis=2)                # (B, nI, 3)
-    hi_i = jnp.where(vr, tr, -big).max(axis=2)
-    tc = pts_c.reshape(B, 3, n_j, tm)
-    vc = jnp.abs(tc) < _SENTINEL_CUT
-    lo_j = jnp.where(vc, tc, big).min(axis=3).transpose(0, 2, 1)   # (B, nJ, 3)
-    hi_j = jnp.where(vc, tc, -big).max(axis=3).transpose(0, 2, 1)
+    t = pts.reshape(B, N // tile, tile, 3)
+    v = jnp.abs(t) < _SENTINEL_CUT
+    return jnp.where(v, t, big).min(axis=2), jnp.where(v, t, -big).max(axis=2)
+
+
+def _col_tile_boxes(pts_t, tile):
+    """Same for the transposed (B, 3, M) candidate layout."""
+    B, _, M = pts_t.shape
+    big = jnp.float32(1.0e9)
+    t = pts_t.reshape(B, 3, M // tile, tile)
+    v = jnp.abs(t) < _SENTINEL_CUT
+    lo = jnp.where(v, t, big).min(axis=3).transpose(0, 2, 1)
+    hi = jnp.where(v, t, -big).max(axis=3).transpose(0, 2, 1)
+    return lo, hi
+
+
+def _boxes_adjacency(radius, d_max, lo_r, hi_r, lo_c, hi_c):
+    """Per-row-tile list of bbox-adjacent column tiles (traced values feeding
+    a CSR kernel's scalar prefetch).  Returns (jmap (B,nR,d_max), deg (B,nR),
+    overflowed bool scalar)."""
+    dm = d_max
     gap = jnp.maximum(
-        jnp.maximum(lo_i[:, :, None, :] - hi_j[:, None, :, :],
-                    lo_j[:, None, :, :] - hi_i[:, :, None, :]),
+        jnp.maximum(lo_r[:, :, None, :] - hi_c[:, None, :, :],
+                    lo_c[:, None, :, :] - hi_r[:, :, None, :]),
         0.0,
     )
-    d2 = jnp.sum(gap * gap, axis=-1)                         # (B, nI, nJ)
-    adj = d2 <= jnp.float32(spec.radius * spec.radius) * 1.0001 + 1e-9
-    deg = jnp.sum(adj, axis=-1).astype(jnp.int32)            # (B, nI)
+    d2 = jnp.sum(gap * gap, axis=-1)                         # (B, nR, nC)
+    adj = d2 <= jnp.float32(radius * radius) * 1.0001 + 1e-9
+    deg = jnp.sum(adj, axis=-1).astype(jnp.int32)            # (B, nR)
     order = jnp.argsort(
         jnp.logical_not(adj).astype(jnp.int32), axis=-1, stable=True
     ).astype(jnp.int32)
@@ -579,8 +736,25 @@ def _tile_adjacency(spec: PwConvSpec, pts_r, pts_c):
     return jmap, deg, jnp.max(deg) > dm
 
 
+def _tile_adjacency(spec: PwConvSpec, pts_r, pts_c):
+    """Center-tile -> candidate-tile adjacency (forward/dW orientation)."""
+    lo_r, hi_r = _row_tile_boxes(pts_r, spec.tile_n)
+    lo_c, hi_c = _col_tile_boxes(pts_c, spec.tile_m)
+    return _boxes_adjacency(spec.radius, spec.d_max, lo_r, hi_r, lo_c, hi_c)
+
+
+def _tile_adjacency_dx(spec: PwConvSpec, pts_r, pts_c, d_max):
+    """Candidate-out-tile -> center-tile adjacency (dX orientation: the
+    reduction walks center tiles of size tile_m for each tile_n-sized
+    candidate output tile)."""
+    lo_r, hi_r = _col_tile_boxes(pts_c, spec.tile_n)
+    lo_c, hi_c = _row_tile_boxes(pts_r, spec.tile_m)
+    return _boxes_adjacency(spec.radius, d_max, lo_r, hi_r, lo_c, hi_c)
+
+
 def _fwd_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, w, bias):
     tn, tm = spec.tile_n, spec.tile_m
+    _TRACE_COUNTS["fwd_csr"] += 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(spec.batch, spec.n_centers // tn, spec.d_max),
@@ -668,6 +842,28 @@ def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
 
 
 def _dw_call(spec: PwConvSpec, pts_r, pts_c, feats, g):
+    if spec.use_csr:
+        n_i = spec.n_centers // spec.tile_n
+        rows_fit = max(1, _CSR_SMEM_BUDGET // (4 * spec.batch * (spec.d_max + 1)))
+        if n_i > rows_fit:
+            # chunk the centers so each call's scalar tables fit in SMEM;
+            # per-chunk dW contributions sum (the contraction is over centers).
+            chunk_nc = rows_fit * spec.tile_n
+            dw = None
+            for c0 in range(0, spec.n_centers, chunk_nc):
+                c1 = min(c0 + chunk_nc, spec.n_centers)
+                sub = dataclasses.replace(spec, n_centers=c1 - c0)
+                part = _dw_call(sub, pts_r[:, c0:c1], pts_c, feats, g[:, c0:c1])
+                dw = part if dw is None else dw + part
+            return dw
+        jmap, deg, overflowed = _tile_adjacency(spec, pts_r, pts_c)
+        dense_spec = dataclasses.replace(spec, use_csr=False)
+        return jax.lax.cond(
+            overflowed,
+            lambda ops: _dw_call(dense_spec, *ops),
+            lambda ops: _dw_call_csr(spec, jmap, deg, *ops),
+            (pts_r, pts_c, feats, g),
+        )
     if spec.resident:
         return _dw_call_resident(spec, pts_r, pts_c, feats, g)
     tn, tm = spec.tile_n, spec.tile_m
@@ -693,6 +889,32 @@ def _dw_call(spec: PwConvSpec, pts_r, pts_c, feats, g):
 
 
 def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
+    if spec.use_csr:
+        # dX reduces over center tiles of size tile_m; cap the walk by the
+        # transposed adjacency's degree.
+        n_inner = spec.n_centers // spec.tile_m
+        dm = max(1, min(n_inner, spec.d_max))
+        n_rows = spec.n_points // spec.tile_n
+        rows_fit = max(1, _CSR_SMEM_BUDGET // (4 * spec.batch * (dm + 1)))
+        if n_rows > rows_fit:
+            # chunk the candidate-output tiles; centers stay whole.
+            chunk_np = rows_fit * spec.tile_n
+            dxs = []
+            for c0 in range(0, spec.n_points, chunk_np):
+                c1 = min(c0 + chunk_np, spec.n_points)
+                sub = dataclasses.replace(spec, n_points=c1 - c0)
+                dxs.append(_dx_call(sub, pts_r, pts_c[:, :, c0:c1], g, counts, w))
+            return jnp.concatenate(dxs, axis=1)
+        imap, deg, overflowed = _tile_adjacency_dx(spec, pts_r, pts_c, dm)
+        dense_spec = dataclasses.replace(spec, use_csr=False)
+        wt = jnp.swapaxes(w, 1, 2)   # (27, Coutp, Cinp)
+        return jax.lax.cond(
+            overflowed,
+            lambda ops: _dx_call(dense_spec, ops[0], ops[1], ops[2], ops[3], w),
+            lambda ops: _dx_call_csr(spec, imap, deg, ops[0], ops[1], ops[2],
+                                     ops[3], wt),
+            (pts_r, pts_c, g, counts),
+        )
     # Resident dX only pays off for short center walks: at 8+ unrolled
     # center tiles the scheduler's value liveness blows scoped VMEM (45 MB
     # at the 4096-pt seg shape) and the grid kernel with its Z scratch is

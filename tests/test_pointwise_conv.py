@@ -167,11 +167,93 @@ def test_csr_forward_matches_reference():
 
 
 def test_csr_gradients_match_dense():
-    pts, feats, w, bias = make_problem(jax.random.PRNGKey(21), b=1, n=64, cin=4, cout=3)
+    """dW/dX take the scalar-prefetch CSR grids (not the dense fallback) and
+    stay exact vs both the dense kernels and the reference impl."""
+    import importlib
+
+    kmod = importlib.import_module("pointwise_tpu.kernels.pointwise_conv_pallas")
+    # Multi-tile problem (4 center/candidate tiles at tile 128) sorted along
+    # x so the tiles are slabs and the bbox adjacency is genuinely sparse:
+    # each 2-wide slab only touches its neighbors at radius 0.3.
+    pts, feats, w, bias = make_problem(
+        jax.random.PRNGKey(21), b=1, n=512, cin=4, cout=3, spread=4.0
+    )
+    pts_np = np.asarray(pts)
+    pts = jnp.asarray(pts_np[:, np.argsort(pts_np[0, :, 0], kind="stable")])
+
+    def loss(csr, impl="pallas"):
+        def f(feats_, w_):
+            y = pointwise_conv(pts, feats_, w_, bias, radius=0.3, impl=impl,
+                               csr=csr, tile_n=128, tile_m=128)
+            return jnp.sum(y ** 2)
+        return f
+
+    g_dense = jax.grad(loss(False), argnums=(0, 1))(feats, w)
+    before = dict(kmod._TRACE_COUNTS)
+    g_csr = jax.grad(loss(True), argnums=(0, 1))(feats, w)
+    after = dict(kmod._TRACE_COUNTS)
+    # the CSR gradient kernels were staged...
+    assert after["dw_csr"] > before["dw_csr"], "dW did not take the CSR grid"
+    assert after["dx_csr"] > before["dx_csr"], "dX did not take the CSR grid"
+    # ...and the runtime fallback cannot have fired: with d_max as the op
+    # layer picks it (== n_tiles here) the bbox adjacency cannot overflow in
+    # either orientation (forward/dW and the transposed dX walk), and the
+    # walk is genuinely sparse (max degree < number of tiles).
+    spec = kmod.PwConvSpec(
+        radius=0.3, batch=1, n_centers=512, n_points=512, cin_p=128,
+        cout_p=128, cin_col=4, tile_n=128, tile_m=128, interpret=True,
+        use_csr=True, d_max=4,
+    )
+    ptsf = pts.astype(jnp.float32)
+    ptst = jnp.swapaxes(ptsf, 1, 2)
+    _, deg_fw, ovf_fw = kmod._tile_adjacency(spec, ptsf, ptst)
+    _, deg_dx, ovf_dx = kmod._tile_adjacency_dx(spec, ptsf, ptst, spec.d_max)
+    assert not bool(ovf_fw) and not bool(ovf_dx), "degree cap overflowed"
+    assert int(jnp.max(deg_fw)) < 4, "walk is all-pairs, not sparse"
+    assert int(jnp.max(deg_dx)) < 4, "dX walk is all-pairs, not sparse"
+
+    g_ref = jax.grad(loss(None, impl="reference"), argnums=(0, 1))(feats, w)
+    for name, a, b in zip(("dx", "dw"), g_dense, g_csr):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6, err_msg=name
+        )
+    for name, a, b in zip(("dx", "dw"), g_ref, g_csr):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=3e-5, atol=3e-5, err_msg=name
+        )
+
+
+def test_csr_backward_chunking(monkeypatch):
+    # Shrink the SMEM budget so the CSR dW/dX calls must chunk their scalar
+    # tables; per-chunk results must recombine exactly (dW sums, dX concats).
+    import importlib
+
+    kmod = importlib.import_module("pointwise_tpu.kernels.pointwise_conv_pallas")
+    monkeypatch.setattr(kmod, "_CSR_SMEM_BUDGET", 64)
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(23), b=1, n=256)
 
     def loss(csr):
         def f(feats_, w_):
-            y = pointwise_conv(pts, feats_, w_, bias, radius=0.4, impl="pallas", csr=csr)
+            y = pointwise_conv(pts, feats_, w_, bias, radius=0.4,
+                               impl="pallas", csr=csr, tile_n=128, tile_m=128)
+            return jnp.sum(y ** 2)
+        return f
+
+    g_dense = jax.grad(loss(False), argnums=(0, 1))(feats, w)
+    g_csr = jax.grad(loss(True), argnums=(0, 1))(feats, w)
+    for a, b in zip(g_dense, g_csr):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6)
+
+
+def test_csr_gradient_overflow_fallback():
+    # huge radius -> every tile adjacent -> degree overflow -> the runtime
+    # dense fallback must keep gradients exact.
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(22), b=1, n=256)
+
+    def loss(csr):
+        def f(feats_, w_):
+            y = pointwise_conv(pts, feats_, w_, bias, radius=9.0,
+                               impl="pallas", csr=csr, tile_n=128, tile_m=128)
             return jnp.sum(y ** 2)
         return f
 
