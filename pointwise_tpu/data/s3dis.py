@@ -126,8 +126,14 @@ def _emit_block(out, xyz, rgb, label, sel, x0, y0, block_size, mins, span,
     out["index"].append(sel.astype(np.int32))
 
 
-def training_blocks(cfg, data_dir: str | None = None, seed: int = 0):
-    rooms = load_rooms(data_dir, seed=seed)
+def training_blocks(cfg, data_dir: str | None = None, seed: int = 0,
+                    rooms=None):
+    """Blocks from ``rooms`` (or from ``data_dir``/synthetic when None) —
+    pass an explicit room list to build disjoint train/heldout splits at
+    ROOM level (overlapping-stride blocks from one room share points, so a
+    block-level split leaks eval points into training)."""
+    if rooms is None:
+        rooms = load_rooms(data_dir, seed=seed)
     rng = np.random.RandomState(seed)
     parts = []
     for xyz, rgb, lab in rooms:

@@ -36,6 +36,9 @@ class PointwiseClassifier(nn.Module):
                           # NOTE: changes param scope names, so checkpoints
                           # are tied to the remat setting
     use_xyz_features: bool = True
+    # mesh axis name(s) the POINT dim is sharded over (inside shard_map);
+    # the pooled head then reduces across spatial shards (psum/pmax)
+    context_axes: Sequence[str] = ()
 
     @nn.compact
     def __call__(self, points, features=None, mask=None, train: bool = False):
@@ -55,7 +58,7 @@ class PointwiseClassifier(nn.Module):
                           precision=self.precision)(
                 points, x, mask, train
             )
-        h = masked_pool(x, mask)                      # (B, 2C)
+        h = masked_pool(x, mask, tuple(self.context_axes) or None)   # (B, 2C)
         for d in self.head_dims:
             h = nn.relu(nn.Dense(d)(h))
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
@@ -69,3 +72,14 @@ def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray):
     loss = -jnp.mean(ll)
     acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
     return loss, acc
+
+
+def classification_loss_sums(logits: jnp.ndarray, labels: jnp.ndarray):
+    """SPMD (shard-local sums) variant — the Trainer's space_axis contract:
+    returns (nll_sum, weight, metric_sums); psum(sums)/psum(weight) over the
+    mesh equals the global mean exactly."""
+    logp = nn.log_softmax(logits)
+    ll = jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+    w = jnp.asarray(labels.shape[0], jnp.float32)
+    return -jnp.sum(ll), w, {"accuracy": jnp.sum(correct)}

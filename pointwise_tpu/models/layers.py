@@ -32,7 +32,7 @@ class PointwiseConv(nn.Module):
     precision: str = "bfloat16"
 
     @nn.compact
-    def __call__(self, points, x, mask=None):
+    def __call__(self, points, x, mask=None, centers=None, center_mask=None):
         cin = x.shape[-1]
         # fan_in = 27 * cin receptive inputs, matching conv-style init.
         w = self.param(
@@ -48,6 +48,7 @@ class PointwiseConv(nn.Module):
         }
         return pointwise_conv(
             points, x, w, b, radius=self.radius, mask=mask, impl=self.impl,
+            centers=centers, center_mask=center_mask,
             **kwargs,
         )
 
@@ -63,9 +64,12 @@ class PointwiseConvBlock(nn.Module):
     activation: Callable = nn.relu
 
     @nn.compact
-    def __call__(self, points, x, mask=None, train: bool = False):
+    def __call__(self, points, x, mask=None, train: bool = False,
+                 centers=None, center_mask=None):
         y = PointwiseConv(self.features, self.radius, impl=self.impl,
-                          precision=self.precision)(points, x, mask)
+                          precision=self.precision)(
+            points, x, mask, centers, center_mask
+        )
         if self.norm == "layer":
             y = nn.LayerNorm()(y)
         elif self.norm == "batch":
@@ -73,21 +77,34 @@ class PointwiseConvBlock(nn.Module):
         elif self.norm != "none":
             raise ValueError(f"unknown norm: {self.norm!r}")
         y = self.activation(y)
-        if mask is not None:
-            y = y * mask.astype(y.dtype)[..., None]
+        out_mask = mask if centers is None else center_mask
+        if out_mask is not None:
+            y = y * out_mask.astype(y.dtype)[..., None]
         return y
 
 
-def masked_pool(x: jnp.ndarray, mask: jnp.ndarray | None):
+def masked_pool(x: jnp.ndarray, mask: jnp.ndarray | None, axes=None):
     """Concat of masked max-pool and mean-pool over the point dim.
 
     x: (B, N, C); mask: (B, N) or None. Returns (B, 2C).
+
+    ``axes``: optional mesh axis name(s) the POINT dim is sharded over
+    (inside shard_map) — the pool then reduces across those shards with
+    pmax/psum, making the global context exact under spatial sharding.
     """
+    import jax
+
     if mask is None:
-        return jnp.concatenate([jnp.max(x, axis=1), jnp.mean(x, axis=1)], axis=-1)
+        mask = jnp.ones(x.shape[:2], x.dtype)
     m = mask.astype(x.dtype)[..., None]
     neg = jnp.finfo(x.dtype).min
     xmax = jnp.max(jnp.where(m > 0, x, neg), axis=1)
-    denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
-    xmean = jnp.sum(x * m, axis=1) / denom
+    xsum = jnp.sum(x * m, axis=1)
+    cnt = jnp.sum(m, axis=1)
+    if axes:
+        # all_gather + local max (pmax has no differentiation rule)
+        xmax = jnp.max(jax.lax.all_gather(xmax, axes), axis=0)
+        xsum = jax.lax.psum(xsum, axes)
+        cnt = jax.lax.psum(cnt, axes)
+    xmean = xsum / jnp.maximum(cnt, 1.0)
     return jnp.concatenate([xmax, xmean], axis=-1)

@@ -2,16 +2,21 @@
 
 Combines the two parallelism strategies this model family admits
 (SURVEY.md section 2): batch-dim data parallelism and point-dim spatial
-parallelism.  The whole train step runs inside ``shard_map``: each device
-holds a (batch-shard, point-shard) of the block batch, convolves its local
-centers against candidates brought in over the `space` axis (see
-parallel/spatial.py), computes the weighted-loss contribution, and grads
-are psum'd over both axes.  Params and optimizer state stay replicated —
-these nets are tiny; the data is what scales.
+parallelism.  The actual machinery lives in ``train.trainer.Trainer``
+(``space_axis=...``): the whole train/eval step runs inside ``shard_map`` —
+each device holds a (batch-shard, point-shard), convolves its local centers
+against candidates brought in over the `space` axis (parallel/spatial.py),
+and loss/grads/metrics are psum'd as SUMS and normalized globally, so the
+sharded step equals the unsharded global-mean step exactly.  Params and
+optimizer state stay replicated — these nets are tiny; the data is what
+scales.
 
-Scope note: the segmentation model must be built with
-``impl="spatial:<axis>"`` and ``use_global_context=False`` (cross-shard
-pooling is not wired up).
+Model requirements: ``impl='spatial:<space_axis>'`` and, when the net pools
+globally (``use_global_context=True`` / the classifier head),
+``context_axes=(space_axis,)`` so the pool reduces across spatial shards.
+
+This module provides the per-model-family loss adapters implementing the
+Trainer's SPMD sums contract (see Trainer docstring).
 """
 
 from __future__ import annotations
@@ -19,70 +24,44 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
-import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pointwise_tpu.models import segmentation_loss
+from pointwise_tpu.models import (
+    classification_loss_sums,
+    segmentation_loss_sums,
+)
 
 
-def make_spatial_seg_train_step(
-    model,
-    tx: optax.GradientTransformation,
-    mesh: Mesh,
-    *,
-    data_axis: str = "data",
-    space_axis: str = "space",
-) -> tuple[Callable, Callable]:
-    """Returns (put, step) for spatially-sharded segmentation training.
+def seg_spmd_loss_fn(model, *, jitter_sigma: float = 0.0,
+                     jitter_clip: float = 0.02) -> Callable:
+    """Sums-contract loss for a (spatially-shardable) segmentation model.
 
-    put(params, opt_state, batch) -> device-placed copies.
-    step(params, opt_state, batch) -> (params, opt_state, loss); jitted,
-    batch dict must have points/features/label/mask with dims (B, N, ...).
+    Per-point Gaussian jitter is safe per-shard (iid noise); per-CLOUD
+    geometric augmentation (rotations) must happen on the host instead.
     """
-    axes = (data_axis, space_axis)
+    from pointwise_tpu.data import augment
 
-    def local_step(params, opt_state, batch):
-        # denominator is data-only, so psum it OUTSIDE the differentiated
-        # function: under shard_map a psum on the loss path transposes to a
-        # psum, and an explicit grad psum would then double-count.
-        total_cnt = jax.lax.psum(jnp.sum(batch["mask"]), axes)
-
-        def loss_fn(p):
-            logits = model.apply(
-                {"params": p}, batch["points"], batch["features"],
-                batch["mask"], train=False,
-            )
-            lmean, _ = segmentation_loss(logits, batch["label"], batch["mask"])
-            cnt = jnp.sum(batch["mask"])
-            return lmean * cnt / total_cnt   # local share of the global mean
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        loss = jax.lax.psum(loss, axes)
-        grads = jax.lax.psum(grads, axes)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    repl = P()
-    batch_spec = {k: P(data_axis, space_axis)
-                  for k in ("points", "features", "label", "mask")}
-    step = jax.jit(
-        jax.shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(repl, repl, batch_spec),
-            out_specs=(repl, repl, repl),
-            check_vma=False,
+    def loss_fn(params, batch, rng, train):
+        pts = batch["points"]
+        if train and jitter_sigma > 0:
+            rng, rj = jax.random.split(rng)
+            pts = augment.jitter(rj, pts, sigma=jitter_sigma, clip=jitter_clip)
+        logits = model.apply(
+            {"params": params}, pts, batch["features"], batch["mask"],
+            train=train, rngs={"dropout": rng},
         )
-    )
+        return segmentation_loss_sums(logits, batch["label"], batch["mask"])
 
-    def put(params, opt_state, batch):
-        params = jax.device_put(params, NamedSharding(mesh, P()))
-        opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
-        batch = jax.device_put(
-            batch, {k: NamedSharding(mesh, v) for k, v in batch_spec.items()}
+    return loss_fn
+
+
+def cls_spmd_loss_fn(model) -> Callable:
+    """Sums-contract loss for a (spatially-shardable) classifier."""
+
+    def loss_fn(params, batch, rng, train):
+        logits = model.apply(
+            {"params": params}, batch["points"], train=train,
+            rngs={"dropout": rng},
         )
-        return params, opt_state, batch
+        return classification_loss_sums(logits, batch["label"])
 
-    return put, step
+    return loss_fn

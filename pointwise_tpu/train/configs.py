@@ -95,6 +95,12 @@ _REGISTRY = {
         name="seg_tiny_local", num_classes=5, batch_size=4, num_points=256,
         global_context=False, log_every=1, eval_every=10_000,
     ),
+    # tiny classification config (CI: CLI resume/metric determinism runs)
+    "cls_tiny": ClassificationConfig(
+        name="cls_tiny", num_classes=4, num_points=64, batch_size=8,
+        channels=(8, 8), radii=(0.5, 1.0), head_dims=(16,),
+        epochs=2, log_every=1, eval_every=10_000, checkpoint_every=10_000,
+    ),
     # Deep conv stack with growing-but-local radii: receptive field reaches
     # the whole (unit-sphere) object through stacking, not through O(N^2)
     # global supports — the TPU-friendly way to go deep.

@@ -38,14 +38,15 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    model_state: Any = None   # mutable collections (e.g. BatchNorm stats)
 
     def tree_flatten(self):  # pragma: no cover - registered below
-        return (self.step, self.params, self.opt_state), None
+        return (self.step, self.params, self.opt_state, self.model_state), None
 
 
 jax.tree_util.register_pytree_node(
     TrainState,
-    lambda s: ((s.step, s.params, s.opt_state), None),
+    lambda s: ((s.step, s.params, s.opt_state, s.model_state), None),
     lambda _, c: TrainState(*c),
 )
 
@@ -67,7 +68,35 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
 class Trainer:
     """Generic jitted trainer around (loss_fn, params).
 
-    loss_fn(params, batch, rng, train) -> (loss, metrics dict).
+    Default contract: loss_fn(params, batch, rng, train) -> (loss, metrics).
+
+    SPMD mode (``space_axis`` set): the whole step runs inside ``shard_map``
+    over a (batch_axis, space_axis) mesh — batch dim sharded over
+    ``batch_axis``, point dim over ``space_axis`` (the model must convolve
+    with ``impl='spatial:<space_axis>'`` and, if it pools globally, set
+    ``context_axes=(space_axis,)``).  Because a masked mean is not linear
+    across shards, the loss contract becomes SUMS:
+
+        loss_fn(params, batch, rng, train) -> (loss_sum, weight, metric_sums)
+
+    where every value is the LOCAL shard's sum and ``weight`` its
+    normalizer share (mask count / batch rows).  The trainer psums each
+    across the mesh and divides, so loss/grads/metrics equal the unsharded
+    global mean exactly.  ``rng`` is folded with the shard index, so dropout
+    is per-shard independent; per-CLOUD geometric augmentation (e.g. one
+    rotation per cloud) must happen on the host or key off the data index
+    only — not inside a spatially-sharded loss_fn.
+
+    Mutable model state (``model_state`` set, e.g. BatchNorm batch_stats):
+    the loss contract becomes
+
+        loss_fn(params, model_state, batch, rng, train)
+            -> (loss, (metrics, new_model_state))
+
+    The state threads through TrainState and checkpoints.  Under plain-jit
+    data parallelism the batch-stat reductions see the GLOBAL batch (XLA
+    inserts the collectives); combining model_state with space_axis is not
+    supported (BatchNorm under shard_map would need axis_name plumbing).
     """
 
     def __init__(
@@ -78,36 +107,71 @@ class Trainer:
         *,
         mesh: jax.sharding.Mesh | None = None,
         batch_axis: str = "data",
+        space_axis: str | None = None,
+        batch_specs: dict | None = None,
+        model_state=None,
         donate: bool = True,
     ):
         self.tx = make_optimizer(opt_cfg)
         self.loss_fn = loss_fn
         self.mesh = mesh
+        self.batch_axis = batch_axis
+        self.space_axis = space_axis
+        self.batch_specs = batch_specs
+        self.donate = donate
+        self.has_model_state = model_state is not None
+        if self.has_model_state and space_axis is not None:
+            raise ValueError("model_state (BatchNorm) + space_axis is not "
+                             "supported; see Trainer docstring")
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=self.tx.init(params),
+            model_state=model_state,
         )
 
         def train_step(state: TrainState, batch, rng):
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, rng, True
-            )
+            if self.has_model_state:
+                def lf(p):
+                    return loss_fn(p, state.model_state, batch, rng, True)
+            else:
+                def lf(p):
+                    loss, metrics = loss_fn(p, batch, rng, True)
+                    return loss, (metrics, None)
+            (loss, (metrics, new_ms)), grads = jax.value_and_grad(
+                lf, has_aux=True
+            )(state.params)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             metrics = dict(metrics)
             metrics["loss"] = loss
             metrics["grad_norm"] = optax.global_norm(grads)
             return (
-                TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+                TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state, model_state=new_ms),
                 metrics,
             )
 
-        def eval_step(params, batch, rng):
-            _, metrics = loss_fn(params, batch, rng, False)
+        def eval_step(state: TrainState, batch, rng):
+            if self.has_model_state:
+                _, (metrics, _) = loss_fn(state.params, state.model_state,
+                                          batch, rng, False)
+            else:
+                _, metrics = loss_fn(state.params, batch, rng, False)
             return metrics
 
-        if mesh is not None:
+        if space_axis is not None:
+            if mesh is None:
+                raise ValueError("space_axis requires a mesh")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            state = jax.device_put(state, repl)
+            # steps are built lazily: the shard_map in_specs depend on the
+            # batch structure, first seen at step()/evaluate() time.
+            self._train_step = None
+            self._eval_step = None
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(mesh, P())
@@ -131,7 +195,100 @@ class Trainer:
             self._eval_step = jax.jit(eval_step)
         self.state = state
 
+    # ---- SPMD (data x space) steps ---------------------------------------
+
+    def _spmd_specs(self, batch):
+        from jax.sharding import PartitionSpec as P
+
+        if self.batch_specs is not None:
+            return dict(self.batch_specs)
+        ba, sa = self.batch_axis, self.space_axis
+        # default layout: (B, N, ...) arrays shard batch + point dims;
+        # per-cloud arrays like (B,) labels shard the batch dim only.
+        return {
+            k: (P(ba, sa) if jnp.ndim(v) >= 2 else P(ba))
+            for k, v in batch.items()
+        }
+
+    def _build_spmd_steps(self, batch):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, ba, sa = self.mesh, self.batch_axis, self.space_axis
+        axes = (ba, sa)
+        specs = self._spmd_specs(batch)
+        loss_fn, tx = self.loss_fn, self.tx
+
+        def shard_rng(rng):
+            idx = (jax.lax.axis_index(ba) * jax.lax.axis_size(sa)
+                   + jax.lax.axis_index(sa))
+            return jax.random.fold_in(rng, idx)
+
+        def psum_mean(tree, total_w):
+            return jax.tree.map(
+                lambda v: jax.lax.psum(v, axes) / total_w, tree
+            )
+
+        def local_train(state, batch, rng):
+            rng = shard_rng(rng)
+
+            def lf(p):
+                loss_sum, w, metric_sums = loss_fn(p, batch, rng, True)
+                return loss_sum, (w, metric_sums)
+
+            (loss_sum, (w, metric_sums)), grads = jax.value_and_grad(
+                lf, has_aux=True
+            )(state.params)
+            total_w = jax.lax.psum(w, axes)
+            loss = jax.lax.psum(loss_sum, axes) / total_w
+            grads = psum_mean(grads, total_w)
+            metrics = dict(psum_mean(metric_sums, total_w))
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return (
+                TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state),
+                metrics,
+            )
+
+        def local_eval(state, batch, rng):
+            rng = shard_rng(rng)
+            loss_sum, w, metric_sums = loss_fn(state.params, batch, rng, False)
+            total_w = jax.lax.psum(w, axes)
+            metrics = dict(psum_mean(metric_sums, total_w))
+            metrics["loss"] = jax.lax.psum(loss_sum, axes) / total_w
+            return metrics
+
+        repl_p = P()
+        repl = NamedSharding(mesh, repl_p)
+        batch_sh = {k: NamedSharding(mesh, v) for k, v in specs.items()}
+        self.batch_sharding = batch_sh
+        self._train_step = jax.jit(
+            jax.shard_map(
+                local_train, mesh=mesh,
+                in_specs=(repl_p, specs, repl_p),
+                out_specs=(repl_p, repl_p),
+                check_vma=False,
+            ),
+            in_shardings=(repl, batch_sh, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if self.donate else (),
+        )
+        self._eval_step = jax.jit(
+            jax.shard_map(
+                local_eval, mesh=mesh,
+                in_specs=(repl_p, specs, repl_p),
+                out_specs=repl_p,
+                check_vma=False,
+            ),
+            in_shardings=(repl, batch_sh, repl),
+            out_shardings=repl,
+        )
+
     def step(self, batch, rng):
+        if self._train_step is None:
+            self._build_spmd_steps(batch)
         self.state, metrics = self._train_step(self.state, batch, rng)
         return metrics
 
@@ -139,7 +296,9 @@ class Trainer:
         """Mean metrics over an iterable of batches."""
         total, count = {}, 0
         for batch in batches:
-            m = jax.device_get(self._eval_step(self.state.params, batch, rng))
+            if self._eval_step is None:
+                self._build_spmd_steps(batch)
+            m = jax.device_get(self._eval_step(self.state, batch, rng))
             for k, v in m.items():
                 total[k] = total.get(k, 0.0) + float(v)
             count += 1
@@ -147,28 +306,52 @@ class Trainer:
 
     # ---- checkpointing (orbax) ------------------------------------------
 
-    def save_checkpoint(self, directory: str, keep: int = 3):
+    def save_checkpoint(self, directory: str, keep: int = 3, extra=None):
+        """extra: optional pytree of extra training-loop state (e.g. the
+        base PRNG key) saved alongside {step, params, opt_state} — SURVEY.md
+        section 5 checkpoint row."""
         import orbax.checkpoint as ocp
 
         step = int(jax.device_get(self.state.step))
         mngr = ocp.CheckpointManager(
             directory, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
         )
-        mngr.save(step, args=ocp.args.StandardSave(_to_pure(self.state)))
+        payload = _to_pure(self.state)
+        if extra is not None:
+            payload["extra"] = jax.device_get(extra)
+        mngr.save(step, args=ocp.args.StandardSave(payload))
         mngr.wait_until_finished()
         mngr.close()
         return step
 
-    def restore_checkpoint(self, directory: str, step: int | None = None) -> int:
+    def restore_checkpoint(self, directory: str, step: int | None = None,
+                           extra=None) -> int:
+        """extra: template pytree for extra loop state; the restored value
+        lands in ``self.restored_extra`` (None if the checkpoint predates
+        extra-state saving)."""
         import orbax.checkpoint as ocp
 
         mngr = ocp.CheckpointManager(directory)
         step = mngr.latest_step() if step is None else step
+        self.restored_extra = None
         if step is None:
             return 0
+        import numpy as np
+
         target = _to_pure(self.state)
-        restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
+        # probe with an extra-state template (orbax's strict matching cannot
+        # ignore surplus on-disk keys); fall back for checkpoints without it.
+        target["extra"] = jax.device_get(extra) if extra is not None else {
+            "rng_base": np.zeros(2, np.uint32)
+        }
+        try:
+            restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
+        except Exception:
+            # checkpoint without the extra payload
+            target.pop("extra")
+            restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
         mngr.close()
+        self.restored_extra = restored.get("extra")
         self.state = TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=restored["params"],
@@ -177,6 +360,8 @@ class Trainer:
                 self.state.opt_state,
                 restored["opt_state"],
             ),
+            model_state=restored.get("model_state",
+                                     self.state.model_state),
         )
         return int(step)
 
@@ -185,11 +370,17 @@ def _to_pure(state: TrainState):
     params = state.params
     if isinstance(params, FrozenDict):
         params = params.unfreeze()
-    return {
+    out = {
         "step": jax.device_get(state.step),
         "params": jax.device_get(params),
         "opt_state": jax.device_get(state.opt_state),
     }
+    if state.model_state is not None:
+        ms = state.model_state
+        if isinstance(ms, FrozenDict):
+            ms = ms.unfreeze()
+        out["model_state"] = jax.device_get(ms)
+    return out
 
 
 class SummaryWriter:

@@ -81,9 +81,8 @@ def test_shapenetpart_segmenter():
 
 
 def test_batchnorm_mutable_path():
-    # norm='batch' is supported at module level via flax mutable collections
-    # (the bundled Trainer intentionally does not thread batch_stats; the
-    # train CLI rejects the combination with a clear error).
+    # norm='batch' at module level via flax mutable collections (the Trainer
+    # threads batch_stats when constructed with model_state=...).
     model = PointwiseClassifier(
         num_classes=4, channels=(8,), radii=(0.6,), head_dims=(8,),
         impl="reference", norm="batch", dropout_rate=0.0,

@@ -133,46 +133,174 @@ def test_data_parallel_trainer_matches_single():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
-def test_spmd_seg_train_step_matches_unsharded():
-    import optax
+def _seg_batch(B=8, N=64, classes=3, seed=0, mask_holes=False):
+    k = jax.random.split(jax.random.PRNGKey(seed), 4)
+    mask = jnp.ones((B, N))
+    if mask_holes:  # ragged validity exercises the sums-contract weighting
+        mask = (jax.random.uniform(k[3], (B, N)) > 0.2).astype(jnp.float32)
+    return {
+        "points": jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1),
+        "features": jax.random.normal(k[1], (B, N, 6)),
+        "label": jax.random.randint(k[2], (B, N), 0, classes),
+        "mask": mask,
+    }
 
+
+def _spmd_seg_check(use_global_context):
+    """Trainer SPMD step (data x space shard_map) == unsharded global mean."""
     from pointwise_tpu.models import PointwiseSegmenter, segmentation_loss
-    from pointwise_tpu.parallel.spmd import make_spatial_seg_train_step
+    from pointwise_tpu.parallel.spmd import seg_spmd_loss_fn
+    from pointwise_tpu.train.configs import OptimizerConfig
+    from pointwise_tpu.train.trainer import Trainer
 
     mesh = make_mesh(data=4, space=2)
     model = PointwiseSegmenter(
         num_classes=3, channels=(8,), radii=(0.5,), head_dims=(8,),
-        dropout_rate=0.0, impl="spatial:space", use_global_context=False,
+        dropout_rate=0.0, impl="spatial:space",
+        use_global_context=use_global_context,
+        context_axes=("space",) if use_global_context else (),
     )
-    ref_model = model.clone(impl="reference")
-    B, N = 8, 64
-    k = jax.random.split(jax.random.PRNGKey(0), 3)
-    batch = {
-        "points": jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1),
-        "features": jax.random.normal(k[1], (B, N, 6)),
-        "label": jax.random.randint(k[2], (B, N), 0, 3),
-        "mask": jnp.ones((B, N)),
-    }
+    ref_model = model.clone(impl="reference", context_axes=())
+    batch = _seg_batch(mask_holes=True)
     params = ref_model.init(jax.random.PRNGKey(1), batch["points"],
                             batch["features"], batch["mask"], train=False)["params"]
-    tx = optax.sgd(0.1)
-    opt_state = tx.init(params)
+    opt = OptimizerConfig(warmup_steps=1, decay_steps=10)
+    trainer = Trainer(
+        seg_spmd_loss_fn(model), jax.tree.map(jnp.copy, params), opt,
+        mesh=mesh, space_axis="space",
+    )
+    m_s = trainer.step(batch, jax.random.PRNGKey(2))
 
-    put, step = make_spatial_seg_train_step(model, tx, mesh)
-    p_s, o_s, b_s = put(jax.tree.map(jnp.copy, params), opt_state, batch)
-    p_s, o_s, loss_s = step(p_s, o_s, b_s)
+    def loss_fn(p, b, r, t):
+        logits = ref_model.apply({"params": p}, b["points"], b["features"],
+                                 b["mask"], train=False)
+        loss, acc = segmentation_loss(logits, b["label"], b["mask"])
+        return loss, {"accuracy": acc}
 
-    # unsharded ground truth
-    def loss_fn(p):
-        logits = ref_model.apply({"params": p}, batch["points"],
-                                 batch["features"], batch["mask"], train=False)
-        return segmentation_loss(logits, batch["label"], batch["mask"])[0]
+    t_u = Trainer(loss_fn, params, opt)
+    m_u = t_u.step(batch, jax.random.PRNGKey(2))
 
-    loss_u, grads = jax.value_and_grad(loss_fn)(params)
-    upd, _ = tx.update(grads, tx.init(params), params)
-    p_u = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(float(m_s["loss"]), float(m_u["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_s["accuracy"]),
+                               float(m_u["accuracy"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t_u.state.params),
+                    jax.tree.leaves(jax.device_get(trainer.state.params))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
+    # eval path (shard_map'd too) agrees with the unsharded eval metrics
+    ev_s = trainer.evaluate([batch], jax.random.PRNGKey(3))
+    ev_u = t_u.evaluate([batch], jax.random.PRNGKey(3))
+    np.testing.assert_allclose(ev_s["accuracy"], ev_u["accuracy"], rtol=1e-5)
 
-    np.testing.assert_allclose(float(loss_s), float(loss_u), rtol=1e-5)
-    for a, b in zip(jax.tree.leaves(p_u), jax.tree.leaves(jax.device_get(p_s))):
+
+def test_batchnorm_dp_trainer_matches_single():
+    """norm='batch' trains through the Trainer (model_state threading), and
+    under jit data parallelism the batch statistics see the GLOBAL batch
+    (XLA collectives), so the DP step equals the single-device step."""
+    from pointwise_tpu.models import PointwiseClassifier, classification_loss
+    from pointwise_tpu.train.configs import OptimizerConfig
+    from pointwise_tpu.train.trainer import Trainer
+
+    model = PointwiseClassifier(
+        num_classes=4, channels=(8,), radii=(0.6,), head_dims=(16,),
+        impl="reference", norm="batch", dropout_rate=0.0,
+    )
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (8, 32, 3),
+                             minval=-1, maxval=1)
+    batch = {"points": pts, "label": jnp.arange(8) % 4}
+    variables = model.init(jax.random.PRNGKey(1), pts, train=False)
+    assert "batch_stats" in variables
+
+    def loss_fn(p, ms, b, rng, train):
+        out = model.apply(
+            {"params": p, "batch_stats": ms}, b["points"], train=train,
+            mutable=["batch_stats"] if train else False,
+        )
+        logits, mut = out if train else (out, None)
+        loss, acc = classification_loss(logits, b["label"])
+        return loss, ({"accuracy": acc}, mut["batch_stats"] if train else ms)
+
+    opt = OptimizerConfig(warmup_steps=1, decay_steps=10)
+    rng = jax.random.PRNGKey(2)
+    ms0 = jax.device_get(variables["batch_stats"])  # donation-safe snapshot
+    t_single = Trainer(loss_fn, jax.tree.map(jnp.copy, variables["params"]),
+                       opt, model_state=jax.tree.map(
+                           jnp.copy, variables["batch_stats"]))
+    t_dp = Trainer(loss_fn, variables["params"], opt, mesh=make_mesh(),
+                   model_state=variables["batch_stats"])
+    for _ in range(2):
+        m1 = t_single.step(batch, rng)
+        m2 = t_dp.step(batch, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-3)
+    # params: adamw's early steps are sign-like (m̂/√v̂ ≈ ±1), so the
+    # reassociation noise of the sharded batch-stat reductions can flip
+    # near-zero-gradient coordinates by up to ~2*lr — bound absolutely.
+    for a, b in zip(jax.tree.leaves(t_single.state.params),
+                    jax.tree.leaves(t_dp.state.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-2, atol=5e-3)
+    # running batch statistics are direct data moments — tight agreement
+    for a, b in zip(jax.tree.leaves(t_single.state.model_state),
+                    jax.tree.leaves(t_dp.state.model_state)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+    # and they actually moved
+    moved = any(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) > 0
+        for a, b in zip(jax.tree.leaves(ms0),
+                        jax.tree.leaves(jax.device_get(
+                            t_single.state.model_state)))
+    )
+    assert moved
+
+
+def test_spmd_seg_train_step_matches_unsharded():
+    _spmd_seg_check(use_global_context=False)
+
+
+def test_spmd_seg_global_context_matches_unsharded():
+    # cross-shard masked pool: psum/all_gather over the 'space' axis
+    _spmd_seg_check(use_global_context=True)
+
+
+def test_spmd_classifier_train_step_matches_unsharded():
+    from pointwise_tpu.models import PointwiseClassifier, classification_loss
+    from pointwise_tpu.parallel.spmd import cls_spmd_loss_fn
+    from pointwise_tpu.train.configs import OptimizerConfig
+    from pointwise_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(data=4, space=2)
+    model = PointwiseClassifier(
+        num_classes=4, channels=(8,), radii=(0.6,), head_dims=(16,),
+        dropout_rate=0.0, impl="spatial:space", context_axes=("space",),
+    )
+    ref_model = model.clone(impl="reference", context_axes=())
+    B, N = 8, 64
+    k = jax.random.split(jax.random.PRNGKey(0), 2)
+    batch = {
+        "points": jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1),
+        "label": jnp.arange(B) % 4,
+    }
+    params = ref_model.init(jax.random.PRNGKey(1), batch["points"],
+                            train=False)["params"]
+    opt = OptimizerConfig(warmup_steps=1, decay_steps=10)
+    trainer = Trainer(
+        cls_spmd_loss_fn(model), jax.tree.map(jnp.copy, params), opt,
+        mesh=mesh, space_axis="space",
+    )
+    m_s = trainer.step(batch, jax.random.PRNGKey(2))
+
+    def loss_fn(p, b, r, t):
+        logits = ref_model.apply({"params": p}, b["points"], train=False)
+        loss, acc = classification_loss(logits, b["label"])
+        return loss, {"accuracy": acc}
+
+    t_u = Trainer(loss_fn, params, opt)
+    m_u = t_u.step(batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m_s["loss"]), float(m_u["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t_u.state.params),
+                    jax.tree.leaves(jax.device_get(trainer.state.params))):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-6)

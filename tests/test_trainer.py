@@ -57,6 +57,91 @@ def test_checkpoint_resume_roundtrip(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_cli_resume_bitwise_identical(tmp_path):
+    """Full-fidelity resume (SURVEY.md section 5 checkpoint row): a
+    killed-and-resumed CLI run must replay the uninterrupted run exactly —
+    same per-step rng (fold_in by step), same data order (epoch/offset
+    derived from step), params bitwise-equal at the end."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+
+    def run(extra, ckdir):
+        out = subprocess.run(
+            [sys.executable, "train.py", "--config", "cls_tiny",
+             "--checkpoint-dir", os.fspath(ckdir)] + extra,
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return {
+            rec["step"]: rec for rec in map(json.loads, (
+                ln for ln in out.stdout.splitlines() if ln.startswith("{")
+            )) if "loss" in rec
+        }
+
+    m_full = run(["--steps", "5"], tmp_path / "a")          # uninterrupted
+    run(["--steps", "3"], tmp_path / "b")                   # "killed" at 3
+    m_res = run(["--steps", "5", "--resume"], tmp_path / "b")
+    for s in (4, 5):
+        assert m_full[s]["loss"] == m_res[s]["loss"], (s, m_full[s], m_res[s])
+        assert m_full[s]["grad_norm"] == m_res[s]["grad_norm"]
+
+    # final params bitwise-identical across the two checkpoint dirs
+    from pointwise_tpu.data import synthetic
+    from pointwise_tpu.models import PointwiseClassifier
+
+    # the CLI swaps in the synthetic dataset's class count
+    model = PointwiseClassifier(num_classes=synthetic.NUM_CLASSES,
+                                channels=(8, 8), radii=(0.5, 1.0),
+                                head_dims=(16,), impl="reference")
+    pts = jnp.zeros((1, 64, 3))
+    p0 = model.init(jax.random.PRNGKey(0), pts, train=False)["params"]
+    opt = OptimizerConfig()
+    ta = Trainer(lambda p, b, r, t: (jnp.zeros(()), {}), p0, opt, donate=False)
+    tb = Trainer(lambda p, b, r, t: (jnp.zeros(()), {}),
+                 jax.tree.map(jnp.copy, p0), opt, donate=False)
+    assert ta.restore_checkpoint(os.fspath(tmp_path / "a")) == 5
+    assert tb.restore_checkpoint(os.fspath(tmp_path / "b")) == 5
+    for a, b in zip(jax.tree.leaves(ta.state.params),
+                    jax.tree.leaves(tb.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_extra_payload_roundtrip(tmp_path):
+    # the PRNG base key travels with the checkpoint and restores intact;
+    # restoring WITHOUT an extra template still works (back-compat).
+    loss_fn, params, batch = _setup()
+    opt = OptimizerConfig(warmup_steps=1, decay_steps=100)
+    ckdir = os.fspath(tmp_path / "ck")
+    t1 = Trainer(loss_fn, params, opt, donate=False)
+    t1.step(batch, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(42)
+    t1.save_checkpoint(ckdir, extra={"rng_base": jax.device_get(key)})
+
+    loss_fn2, params2, _ = _setup()
+    t2 = Trainer(loss_fn2, params2, opt, donate=False)
+    t2.restore_checkpoint(ckdir, extra={"rng_base": jax.device_get(
+        jax.random.PRNGKey(0))})
+    np.testing.assert_array_equal(np.asarray(t2.restored_extra["rng_base"]),
+                                  np.asarray(key))
+    # no template: the default rng_base probe still recovers the key
+    loss_fn3, params3, _ = _setup()
+    t3 = Trainer(loss_fn3, params3, opt, donate=False)
+    assert t3.restore_checkpoint(ckdir) == 1
+    np.testing.assert_array_equal(np.asarray(t3.restored_extra["rng_base"]),
+                                  np.asarray(key))
+
+    # checkpoints saved WITHOUT extra restore fine (fallback path)
+    ckdir2 = os.fspath(tmp_path / "ck2")
+    t1.save_checkpoint(ckdir2)
+    loss_fn4, params4, _ = _setup()
+    t4 = Trainer(loss_fn4, params4, opt, donate=False)
+    assert t4.restore_checkpoint(ckdir2) == 1
+    assert t4.restored_extra is None
+
+
 def test_training_stays_finite():
     # NaN guard (SURVEY.md section 5 sanitizer row): a few steps at a high
     # LR must keep loss/grads finite thanks to grad clipping.
@@ -69,9 +154,39 @@ def test_training_stays_finite():
         m = t.step(batch, rng)
         assert np.isfinite(float(m["loss"]))
         assert np.isfinite(float(m["grad_norm"]))
-        assert float(m["grad_norm"]) <= 1.0 + 1e-3 or True  # clip applied pre-adam
     for leaf in jax.tree.leaves(jax.device_get(t.state.params)):
         assert np.all(np.isfinite(leaf))
+
+
+def test_grad_clip_in_optimizer_chain():
+    # the global-norm clip really gates the optimizer: a huge gradient and
+    # the same gradient pre-scaled to the clip norm produce identical
+    # updates (so the clip, not adam's scale-invariance, did the work).
+    import optax
+
+    from pointwise_tpu.train.trainer import make_optimizer
+
+    cfg = OptimizerConfig(grad_clip=1.0, warmup_steps=1, decay_steps=10,
+                          weight_decay=0.0)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    huge = {"w": jnp.full((4, 4), 1e6), "b": jnp.full((4,), -3e6)}
+    norm = optax.global_norm(huge)
+    clipped = jax.tree.map(lambda g: g / norm, huge)   # global norm == 1.0
+
+    u1, _ = tx.update(huge, tx.init(params), params)
+    u2, _ = tx.update(clipped, tx.init(params), params)
+    for a, b in zip(jax.tree.leaves(u1), jax.tree.leaves(u2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+    # sanity: a below-threshold gradient passes through unclipped — its
+    # SECOND-moment state differs from the clipped-huge one's
+    tiny = jax.tree.map(lambda g: g * 1e-3, clipped)   # norm 1e-3 < clip
+    _, s3 = tx.update(tiny, tx.init(params), params)
+    _, s1 = tx.update(huge, tx.init(params), params)
+    nu3 = optax.global_norm(jax.tree.leaves(s3[1][0].nu))
+    nu1 = optax.global_norm(jax.tree.leaves(s1[1][0].nu))
+    assert float(nu3) < float(nu1)
 
 
 def test_eval_metrics_average():

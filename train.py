@@ -28,6 +28,84 @@ from pointwise_tpu.train.configs import ClassificationConfig, SegmentationConfig
 from pointwise_tpu.train.trainer import SummaryWriter, Trainer, log_metrics
 
 
+def run_train_loop(trainer, cfg, args, *, make_epoch_iter, steps_per_epoch,
+                   max_steps, eval_iter=None, eval_split="test", writer=None):
+    """Deterministic, fully resumable training loop.
+
+    The rng for step ``s`` is ``fold_in(rng_base, s)`` and the data epoch is
+    ``s // steps_per_epoch`` (iterator fast-forwarded by ``s % steps_per_epoch``
+    on entry), so a killed-and-resumed run replays the exact stream of an
+    uninterrupted one (SURVEY.md section 5 checkpoint row).  Checkpoints carry
+    the base PRNG key alongside {step, params, opt_state}.
+    """
+    import itertools
+
+    rng_base = jax.random.PRNGKey(cfg.seed)
+    if args.resume and cfg.checkpoint_dir:
+        start = trainer.restore_checkpoint(
+            cfg.checkpoint_dir, extra={"rng_base": jax.device_get(rng_base)}
+        )
+        if trainer.restored_extra is not None:
+            rng_base = jnp.asarray(trainer.restored_extra["rng_base"])
+        print(f"# resumed at step {start}", flush=True)
+    ck_extra = {"rng_base": jax.device_get(rng_base)}
+
+    t0 = time.time()
+    step = int(jax.device_get(trainer.state.step))
+    while step < max_steps:
+        epoch = step // steps_per_epoch
+        it = make_epoch_iter(epoch)
+        skip = step % steps_per_epoch
+        if skip:
+            it = itertools.islice(it, skip, None)
+        for batch in pipeline.prefetch_to_device(it):
+            rs = jax.random.fold_in(rng_base, step)
+            metrics = trainer.step(batch, rs)
+            step += 1
+            if step % cfg.log_every == 0 or step == 1:
+                log_metrics(step, jax.device_get(metrics), t0=t0, writer=writer)
+            if eval_iter is not None and (
+                step % cfg.eval_every == 0 or step == max_steps
+            ):
+                ev = trainer.evaluate(
+                    eval_iter(), jax.random.fold_in(rng_base, (1 << 30) + step)
+                )
+                log_metrics(step, ev, t0=t0, extra={"split": eval_split},
+                            writer=writer, prefix="eval/")
+            if cfg.checkpoint_dir and step % cfg.checkpoint_every == 0:
+                trainer.save_checkpoint(cfg.checkpoint_dir,
+                                        cfg.keep_checkpoints, extra=ck_extra)
+            if step >= max_steps:
+                break
+    if cfg.checkpoint_dir:
+        trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints,
+                                extra=ck_extra)
+    return trainer
+
+
+def _wrap_forward(forward, stateful):
+    """Adapt ``forward(variables, batch, rng, train, mutable) ->
+    ((loss, metrics), mutated)`` to the Trainer's loss contract.
+
+    stateful=True (norm='batch'): Trainer model_state contract, threading
+    the 'batch_stats' collection; otherwise the plain (loss, metrics) one.
+    """
+    if stateful:
+        def loss_fn(params, model_state, batch, rng, train):
+            variables = {"params": params, "batch_stats": model_state}
+            (loss, metrics), mut = forward(
+                variables, batch, rng, train,
+                ["batch_stats"] if train else False,
+            )
+            return loss, (metrics, mut["batch_stats"] if train else model_state)
+    else:
+        def loss_fn(params, batch, rng, train):
+            (loss, metrics), _ = forward({"params": params}, batch, rng,
+                                         train, False)
+            return loss, metrics
+    return loss_fn
+
+
 def build_classifier(cfg: ClassificationConfig):
     model = PointwiseClassifier(
         num_classes=cfg.num_classes,
@@ -39,7 +117,7 @@ def build_classifier(cfg: ClassificationConfig):
         impl=cfg.impl,
     )
 
-    def loss_fn(params, batch, rng, train):
+    def forward(variables, batch, rng, train, mutable):
         pts = batch["points"]
         if train:
             rng_aug, rng_drop = jax.random.split(rng)
@@ -48,13 +126,13 @@ def build_classifier(cfg: ClassificationConfig):
             )
         else:
             rng_drop = rng
-        logits = model.apply(
-            {"params": params}, pts, train=train, rngs={"dropout": rng_drop}
-        )
+        out = model.apply(variables, pts, train=train,
+                          rngs={"dropout": rng_drop}, mutable=mutable)
+        logits, mut = out if mutable else (out, None)
         loss, acc = classification_loss(logits, batch["label"])
-        return loss, {"accuracy": acc}
+        return (loss, {"accuracy": acc}), mut
 
-    return model, loss_fn
+    return model, _wrap_forward(forward, cfg.norm == "batch")
 
 
 def train_classification(cfg: ClassificationConfig, args):
@@ -69,58 +147,55 @@ def train_classification(cfg: ClassificationConfig, args):
         cfg = dataclasses.replace(cfg, num_classes=train_data.num_classes)
 
     model, loss_fn = build_classifier(cfg)
-    rng = jax.random.PRNGKey(cfg.seed)
     sample = {
         "points": jnp.zeros((cfg.batch_size, cfg.num_points, 3)),
         "label": jnp.zeros((cfg.batch_size,), jnp.int32),
     }
-    params = jax.jit(lambda r: model.init(r, sample["points"], train=False))(rng)["params"]
-    trainer = Trainer(loss_fn, params, cfg.optimizer, mesh=_mesh(args))
+    variables = jax.jit(lambda r: model.init(r, sample["points"], train=False))(
+        jax.random.PRNGKey(cfg.seed)
+    )
+    trainer = Trainer(loss_fn, variables["params"], cfg.optimizer,
+                      mesh=_mesh(args),
+                      model_state=variables.get("batch_stats"))
     writer = SummaryWriter(args.tensorboard)
-    if args.resume and cfg.checkpoint_dir:
-        start = trainer.restore_checkpoint(cfg.checkpoint_dir)
-        print(f"# resumed at step {start}", flush=True)
 
-    t0 = time.time()
-    step = int(jax.device_get(trainer.state.step))
-    max_steps = args.steps or cfg.epochs * (len(train_data.labels) // cfg.batch_size)
-    epoch = 0
-    while step < max_steps:
-        it = modelnet.batches(train_data, cfg.batch_size, seed=cfg.seed + epoch)
-        for batch in pipeline.prefetch_to_device(it):
-            rng, rs = jax.random.split(rng)
-            metrics = trainer.step(batch, rs)
-            step += 1
-            if step % cfg.log_every == 0 or step == 1:
-                log_metrics(step, jax.device_get(metrics), t0=t0, writer=writer)
-            if step % cfg.eval_every == 0 or step == max_steps:
-                ev = trainer.evaluate(
-                    pipeline.prefetch_to_device(
-                        modelnet.batches(test_data, cfg.batch_size, shuffle=False)
-                    ),
-                    rng,
-                )
-                log_metrics(step, ev, t0=t0, extra={"split": "test"},
-                            writer=writer, prefix="eval/")
-            if cfg.checkpoint_dir and step % cfg.checkpoint_every == 0:
-                trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
-            if step >= max_steps:
-                break
-        epoch += 1
-    if cfg.checkpoint_dir:
-        trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
-    return trainer
+    steps_per_epoch = max(1, len(train_data.labels) // cfg.batch_size)
+    return run_train_loop(
+        trainer, cfg, args,
+        make_epoch_iter=lambda epoch: modelnet.batches(
+            train_data, cfg.batch_size, seed=cfg.seed + epoch
+        ),
+        steps_per_epoch=steps_per_epoch,
+        max_steps=args.steps or cfg.epochs * steps_per_epoch,
+        eval_iter=lambda: pipeline.prefetch_to_device(
+            modelnet.batches(test_data, cfg.batch_size, shuffle=False)
+        ),
+        writer=writer,
+    )
 
 
 def train_segmentation(cfg: SegmentationConfig, args):
     from pointwise_tpu.data import s3dis
 
-    blocks = s3dis.training_blocks(cfg, data_dir=cfg.data_dir or args.data_dir)
-    # hold out ~10% of blocks for periodic eval
-    n_blocks = len(blocks["points"])
-    n_eval = max(cfg.batch_size, n_blocks // 10)
-    eval_blocks = {k: v[:n_eval] for k, v in blocks.items()}
-    blocks = {k: v[n_eval:] for k, v in blocks.items()}
+    # hold out whole ROOMS for periodic eval: overlapping-stride blocks from
+    # one room share points, so a block-level split would leak eval points
+    # into training and bias the heldout metric optimistically.
+    rooms = s3dis.load_rooms(cfg.data_dir or args.data_dir, seed=cfg.seed)
+    if len(rooms) >= 2:
+        n_eval_rooms = max(1, len(rooms) // 10)
+        eval_blocks = s3dis.training_blocks(cfg, rooms=rooms[:n_eval_rooms])
+        blocks = s3dis.training_blocks(cfg, rooms=rooms[n_eval_rooms:])
+        print(f"# heldout rooms: {n_eval_rooms}/{len(rooms)}", flush=True)
+    else:
+        # single room: fall back to a block-level split (leaky; warned)
+        print("# WARNING: single room — heldout blocks share points with "
+              "training blocks", flush=True)
+        blocks = s3dis.training_blocks(cfg, rooms=rooms)
+        n_eval = max(cfg.batch_size, len(blocks["points"]) // 10)
+        eval_blocks = {k: v[:n_eval] for k, v in blocks.items()}
+        blocks = {k: v[n_eval:] for k, v in blocks.items()}
+    sp = int(getattr(args, "sp", 0) or 0)
+    spmd = sp > 1
     model = PointwiseSegmenter(
         num_classes=cfg.num_classes,
         channels=cfg.channels,
@@ -128,66 +203,70 @@ def train_segmentation(cfg: SegmentationConfig, args):
         head_dims=cfg.head_dims,
         dropout_rate=cfg.dropout,
         norm=cfg.norm,
-        impl=cfg.impl,
+        impl="spatial:space" if spmd else cfg.impl,
         use_global_context=cfg.global_context,
+        context_axes=("space",) if (spmd and cfg.global_context) else (),
     )
 
-    def loss_fn(params, batch, rng, train):
+    def forward(variables, batch, rng, train, mutable):
         pts = batch["points"]
         if train:
             rng, rj = jax.random.split(rng)
             pts = augment.jitter(rj, pts, sigma=0.005, clip=0.02)
-        logits = model.apply(
-            {"params": params},
-            pts,
-            batch["features"],
-            batch["mask"],
-            train=train,
-            rngs={"dropout": rng},
+        out = model.apply(
+            variables, pts, batch["features"], batch["mask"],
+            train=train, rngs={"dropout": rng}, mutable=mutable,
         )
+        logits, mut = out if mutable else (out, None)
         loss, acc = segmentation_loss(logits, batch["label"], batch["mask"])
-        return loss, {"accuracy": acc}
+        return (loss, {"accuracy": acc}), mut
 
-    rng = jax.random.PRNGKey(cfg.seed)
+    loss_fn = _wrap_forward(forward, cfg.norm == "batch")
+
     sample = s3dis.batch_template(cfg)
-    params = jax.jit(
-        lambda r: model.init(
+    init_model = model.clone(impl=cfg.impl, context_axes=()) if spmd else model
+    variables = jax.jit(
+        lambda r: init_model.init(
             r, sample["points"], sample["features"], sample["mask"], train=False
         )
-    )(rng)["params"]
-    trainer = Trainer(loss_fn, params, cfg.optimizer, mesh=_mesh(args))
+    )(jax.random.PRNGKey(cfg.seed))
+    params = variables["params"]
+    if spmd:
+        if cfg.norm == "batch":
+            raise ValueError("--sp with norm='batch' is not supported "
+                             "(BatchNorm stats under shard_map need "
+                             "axis_name plumbing); use norm='layer'")
+        # full SPMD training: mesh = (data x space), whole step in shard_map,
+        # sums-contract loss; eval/checkpoint/resume/dropout all first-class.
+        from pointwise_tpu.parallel import make_mesh
+        from pointwise_tpu.parallel.spmd import seg_spmd_loss_fn
+
+        mesh = make_mesh(space=sp)
+        print(f"# spmd mesh data:{mesh.shape['data']} x "
+              f"space:{mesh.shape['space']}", flush=True)
+        trainer = Trainer(
+            seg_spmd_loss_fn(model, jitter_sigma=0.005), params,
+            cfg.optimizer, mesh=mesh, space_axis="space",
+        )
+    else:
+        trainer = Trainer(loss_fn, params, cfg.optimizer, mesh=_mesh(args),
+                          model_state=variables.get("batch_stats"))
     writer = SummaryWriter(args.tensorboard)
 
-    t0 = time.time()
-    step = 0
-    max_steps = args.steps or cfg.epochs * max(1, len(blocks["points"]) // cfg.batch_size)
-    epoch = 0
-    while step < max_steps:
-        it = s3dis.block_batches(blocks, cfg.batch_size, seed=cfg.seed + epoch)
-        for batch in pipeline.prefetch_to_device(it):
-            rng, rs = jax.random.split(rng)
-            metrics = trainer.step(batch, rs)
-            step += 1
-            if step % cfg.log_every == 0 or step == 1:
-                log_metrics(step, jax.device_get(metrics), t0=t0, writer=writer)
-            if step % cfg.eval_every == 0 or step == max_steps:
-                ev = trainer.evaluate(
-                    pipeline.prefetch_to_device(
-                        s3dis.block_batches(eval_blocks, cfg.batch_size,
-                                            shuffle=False)
-                    ),
-                    rng,
-                )
-                log_metrics(step, ev, t0=t0, extra={"split": "heldout_blocks"},
-                            writer=writer, prefix="eval/")
-            if cfg.checkpoint_dir and step % cfg.checkpoint_every == 0:
-                trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
-            if step >= max_steps:
-                break
-        epoch += 1
-    if cfg.checkpoint_dir:
-        trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
-    return trainer
+    steps_per_epoch = max(1, len(blocks["points"]) // cfg.batch_size)
+    return run_train_loop(
+        trainer, cfg, args,
+        make_epoch_iter=lambda epoch: s3dis.block_batches(
+            blocks, cfg.batch_size, seed=cfg.seed + epoch
+        ),
+        steps_per_epoch=steps_per_epoch,
+        max_steps=args.steps or cfg.epochs * steps_per_epoch,
+        eval_iter=lambda: pipeline.prefetch_to_device(
+            s3dis.block_batches(eval_blocks, cfg.batch_size, shuffle=False)
+        ),
+        eval_split="heldout_rooms" if len(rooms) >= 2 else "heldout_blocks",
+        writer=writer,
+    )
 
 
 def train_shapenetpart(cfg: SegmentationConfig, args):
@@ -216,7 +295,6 @@ def train_shapenetpart(cfg: SegmentationConfig, args):
         loss, acc = segmentation_loss(logits, batch["label"], batch["mask"])
         return loss, {"accuracy": acc}
 
-    rng = jax.random.PRNGKey(cfg.seed)
     sample = {
         "points": jnp.zeros((cfg.batch_size, cfg.num_points, 3)),
         "category": jnp.zeros((cfg.batch_size,), jnp.int32),
@@ -227,27 +305,19 @@ def train_shapenetpart(cfg: SegmentationConfig, args):
             r, sample["points"], sample["category"], mask=sample["mask"],
             train=False,
         )
-    )(rng)["params"]
-    trainer = Trainer(loss_fn, params, cfg.optimizer)
+    )(jax.random.PRNGKey(cfg.seed))["params"]
+    trainer = Trainer(loss_fn, params, cfg.optimizer, mesh=_mesh(args))
 
-    t0 = time.time()
-    step = 0
-    max_steps = args.steps or cfg.epochs * max(1, len(data.category) // cfg.batch_size)
-    epoch = 0
-    while step < max_steps:
-        it = shapenetpart.batches(data, cfg.batch_size, seed=cfg.seed + epoch)
-        for batch in pipeline.prefetch_to_device(it):
-            rng, rs = jax.random.split(rng)
-            metrics = trainer.step(batch, rs)
-            step += 1
-            if step % cfg.log_every == 0 or step == 1:
-                log_metrics(step, jax.device_get(metrics), t0=t0)
-            if step >= max_steps:
-                break
-        epoch += 1
-    if cfg.checkpoint_dir:
-        trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints)
-    return trainer
+    steps_per_epoch = max(1, len(data.category) // cfg.batch_size)
+    return run_train_loop(
+        trainer, cfg, args,
+        make_epoch_iter=lambda epoch: shapenetpart.batches(
+            data, cfg.batch_size, seed=cfg.seed + epoch
+        ),
+        steps_per_epoch=steps_per_epoch,
+        max_steps=args.steps or cfg.epochs * steps_per_epoch,
+        writer=SummaryWriter(args.tensorboard),
+    )
 
 
 def _mesh(args):
@@ -259,53 +329,6 @@ def _mesh(args):
     mesh = make_mesh()
     print(f"# data-parallel over {mesh.shape['data']} devices", flush=True)
     return mesh
-
-
-def train_segmentation_spmd(cfg: SegmentationConfig, args):
-    """Spatially-sharded segmentation training: mesh = (data, space=--sp)."""
-    import optax
-
-    from pointwise_tpu.data import s3dis
-    from pointwise_tpu.parallel import make_mesh
-    from pointwise_tpu.parallel.spmd import make_spatial_seg_train_step
-
-    mesh = make_mesh(space=args.sp)
-    print(f"# spmd mesh data:{mesh.shape['data']} x space:{mesh.shape['space']}",
-          flush=True)
-    blocks = s3dis.training_blocks(cfg, data_dir=cfg.data_dir or args.data_dir)
-    model = PointwiseSegmenter(
-        num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
-        head_dims=cfg.head_dims, dropout_rate=0.0, norm=cfg.norm,
-        impl="spatial:space", use_global_context=False,
-    )
-    init_model = model.clone(impl=cfg.impl)
-    sample = s3dis.batch_template(cfg)
-    params = jax.jit(
-        lambda r: init_model.init(r, sample["points"], sample["features"],
-                                  sample["mask"], train=False)
-    )(jax.random.PRNGKey(cfg.seed))["params"]
-    from pointwise_tpu.train.trainer import make_optimizer
-
-    tx = make_optimizer(cfg.optimizer)
-    opt_state = tx.init(params)
-    put, step = make_spatial_seg_train_step(model, tx, mesh)
-
-    t0 = time.time()
-    n = 0
-    max_steps = args.steps or 100
-    while n < max_steps:
-        for batch in s3dis.block_batches(blocks, cfg.batch_size,
-                                         seed=cfg.seed + n):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if n == 0:
-                params, opt_state, batch = put(params, opt_state, batch)
-            params, opt_state, loss = step(params, opt_state, batch)
-            n += 1
-            if n % cfg.log_every == 0 or n == 1:
-                log_metrics(n, {"loss": float(jax.device_get(loss))}, t0=t0)
-            if n >= max_steps:
-                break
-    return params
 
 
 def main():
@@ -325,16 +348,15 @@ def main():
     ap.add_argument("--sp", type=int, default=0,
                     help="spatial shards for segmentation training "
                          "(mesh = data x space; needs locality-only nets)")
+    ap.add_argument("--norm", default=None, choices=["layer", "batch", "none"],
+                    help="override the config's normalization (norm='batch' "
+                         "threads BatchNorm batch_stats through the trainer, "
+                         "matching the reference's TF-1 BN training)")
     args = ap.parse_args()
 
     cfg = get_config(args.config)
-    if cfg.norm == "batch":
-        raise ValueError(
-            "norm='batch' needs flax mutable batch_stats threading, which the "
-            "bundled Trainer does not do; use norm='layer'/'none', or write a "
-            "custom loop with model.apply(..., mutable=['batch_stats']) "
-            "(see tests/test_models.py::test_batchnorm_mutable_path)."
-        )
+    if args.norm:
+        cfg = dataclasses.replace(cfg, norm=args.norm)
     if args.checkpoint_dir:
         cfg = dataclasses.replace(cfg, checkpoint_dir=args.checkpoint_dir)
     print(f"# config={args.config} backend={jax.default_backend()} "
@@ -343,8 +365,6 @@ def main():
         train_classification(cfg, args)
     elif cfg.name.startswith("shapenetpart"):
         train_shapenetpart(cfg, args)
-    elif args.sp and args.sp > 1:
-        train_segmentation_spmd(cfg, args)
     else:
         train_segmentation(cfg, args)
 
