@@ -42,13 +42,34 @@ def _restore_params(cfg, model, sample_args, checkpoint_dir):
     return params
 
 
+def _pad_batch(batch: dict, batch_size: int):
+    """Pad a final partial batch to the jitted batch size by repeating the
+    last row (full-test-set protocol: no sample is dropped); returns
+    (padded batch, true size)."""
+    n = len(next(iter(batch.values())))
+    if n == batch_size:
+        return batch, n
+    reps = batch_size - n
+    return {
+        k: np.concatenate([v, np.repeat(v[-1:], reps, axis=0)])
+        for k, v in batch.items()
+    }, n
+
+
 def eval_classification(cfg: ClassificationConfig, args):
     data = modelnet.load_modelnet40(
         cfg.data_dir or args.data_dir, "test", cfg.num_points,
         synthetic_size=256, seed=cfg.seed,
     )
-    if data.num_classes != cfg.num_classes:
+    if data.num_classes > cfg.num_classes:
+        # more classes in the data than the config: the head must widen
         cfg = dataclasses.replace(cfg, num_classes=data.num_classes)
+    elif data.num_classes < cfg.num_classes:
+        # keep the CONFIG's head width: the checkpoint was trained with it,
+        # and a test split missing the top class id must not shrink the head
+        # (restore-shape mismatch / misaligned logits otherwise).
+        print(f"# note: data has {data.num_classes} classes; keeping the "
+              f"config's {cfg.num_classes}-way head", flush=True)
     model = PointwiseClassifier(
         num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
         head_dims=cfg.head_dims, dropout_rate=cfg.dropout, norm=cfg.norm,
@@ -64,7 +85,9 @@ def eval_classification(cfg: ClassificationConfig, args):
     votes = max(1, args.votes)
     correct = total = 0
     preds, labs = [], []
-    for batch in modelnet.batches(data, cfg.batch_size, shuffle=False):
+    for batch in modelnet.batches(data, cfg.batch_size, shuffle=False,
+                                  drop_remainder=False):
+        batch, nb = _pad_batch(batch, cfg.batch_size)
         pts = jnp.asarray(batch["points"])
         acc_logits = 0.0
         for v in range(votes):
@@ -74,10 +97,11 @@ def eval_classification(cfg: ClassificationConfig, args):
                 [[c, 0, s], [0, 1, 0], [-s, 0, c]], jnp.float32
             )
             acc_logits = acc_logits + logits_fn(params, pts @ rot)
-        pred = np.asarray(jnp.argmax(acc_logits, -1))
+        pred = np.asarray(jnp.argmax(acc_logits, -1))[:nb]
+        lab = batch["label"][:nb]
         preds.append(pred)
-        labs.append(batch["label"])
-        correct += int((pred == batch["label"]).sum())
+        labs.append(lab)
+        correct += int((pred == lab).sum())
         total += len(pred)
     acc = correct / max(total, 1)
     # mean class accuracy, the second number the reference's eval reports
@@ -100,9 +124,11 @@ def eval_segmentation_streaming(cfg: SegmentationConfig, args, scenes,
     per-point logits equal the full-scene forward exactly, so this is the
     bias-free counterpart of the reference's approximate overlap voting.
     """
+    import functools
+
     import numpy as np
 
-    from pointwise_tpu.streaming import stream_apply
+    from pointwise_tpu.streaming import stream_apply_layered
 
     model = PointwiseSegmenter(
         num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
@@ -115,9 +141,10 @@ def eval_segmentation_streaming(cfg: SegmentationConfig, args, scenes,
         args.checkpoint_dir,
     )
 
-    @jax.jit
-    def apply_fn(pts, fts, mask):
-        return model.apply({"params": params}, pts, fts, mask, train=False)
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def apply_layered(pts, fts, cnt, sels, skips, lengths):
+        return model.apply({"params": params}, pts, fts, cnt, sels, skips,
+                           lengths=lengths, method="streaming_logits")
 
     halo = float(sum(cfg.radii))
     all_pred, all_lab = [], []
@@ -128,8 +155,8 @@ def eval_segmentation_streaming(cfg: SegmentationConfig, args, scenes,
             mins = xyz.min(0)
             span = np.maximum(xyz.max(0) - mins, 1e-6)
             feats = np.concatenate([rgb, (xyz - mins) / span], axis=1)
-        logits = stream_apply(
-            apply_fn, xyz, feats, halo=halo,
+        logits = stream_apply_layered(
+            apply_layered, xyz, feats, radii=cfg.radii,
             tile_size=max(2.0 * halo, cfg.block_size),
             out_dim=cfg.num_classes,
         )
@@ -178,12 +205,15 @@ def eval_segmentation(cfg: SegmentationConfig, args):
                       jnp.asarray(mask))
         )
 
+    # voting density: denser than the training stride by default,
+    # controllable from the CLI (--stride)
+    stride = args.stride if args.stride else cfg.block_stride / 2
     all_pred, all_lab = [], []
     for i, (xyz, rgb, lab) in enumerate(scenes):
         res = s3dis.predict_scene_voting(
             predict, xyz, rgb,
             num_classes=cfg.num_classes, num_points=cfg.num_points,
-            block_size=cfg.block_size, stride=cfg.block_stride / 2,
+            block_size=cfg.block_size, stride=stride,
             batch_size=cfg.batch_size, label=lab, feature_mode=feature_mode,
         )
         m = s3dis.iou_metrics(res["pred"], lab, cfg.num_classes)
@@ -223,12 +253,14 @@ def eval_shapenetpart(cfg: SegmentationConfig, args):
         return model.apply({"params": params}, pts, cat, train=False)
 
     preds, labs, cats = [], [], []
-    for batch in shapenetpart.batches(data, cfg.batch_size, shuffle=False):
+    for batch in shapenetpart.batches(data, cfg.batch_size, shuffle=False,
+                                      drop_remainder=False):
+        batch, nb = _pad_batch(batch, cfg.batch_size)
         lg = logits_fn(params, jnp.asarray(batch["points"]),
                        jnp.asarray(batch["category"]))
-        preds.append(np.asarray(jnp.argmax(lg, -1)))
-        labs.append(batch["label"])
-        cats.append(batch["category"])
+        preds.append(np.asarray(jnp.argmax(lg, -1))[:nb])
+        labs.append(batch["label"][:nb])
+        cats.append(batch["category"][:nb])
     pred = np.concatenate(preds)
     lab = np.concatenate(labs)
     cat = np.concatenate(cats)
@@ -249,6 +281,9 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--votes", type=int, default=1,
                     help="rotation votes for classification eval")
+    ap.add_argument("--stride", type=float, default=None,
+                    help="segmentation voting stride (default: half the "
+                         "config's block_stride)")
     ap.add_argument("--streaming", action="store_true",
                     help="segmentation: exact overlap-save streaming instead"
                          " of block voting (needs a locality-only net)")

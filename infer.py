@@ -21,7 +21,7 @@ import numpy as np
 
 from pointwise_tpu.data import s3dis, synthetic
 from pointwise_tpu.models import PointwiseSegmenter
-from pointwise_tpu.streaming import stream_apply
+from pointwise_tpu.streaming import stream_apply, stream_apply_layered
 from pointwise_tpu.train import get_config
 
 
@@ -49,6 +49,9 @@ def main():
                     help="synthetic scene size when no data dir given")
     ap.add_argument("--tile-size", type=float, default=2.0)
     ap.add_argument("--tile-batch", type=int, default=4)
+    ap.add_argument("--layered", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="layer-wise shrinking halos (exact; faster)")
     args = ap.parse_args()
     cfg = get_config(args.config)
 
@@ -86,20 +89,37 @@ def main():
         params = tr.state.params
         print(f"# restored step {step}", flush=True)
 
-    @jax.jit
-    def apply_fn(pts, fts, mask):
-        return model.apply({"params": params}, pts, fts, mask, train=False)
-
     halo = float(sum(cfg.radii))
     t0 = time.time()
-    logits = stream_apply(
-        apply_fn, xyz, feats,
-        halo=halo, tile_size=args.tile_size, out_dim=cfg.num_classes,
-        tile_batch=args.tile_batch,
-        progress=lambda d, t, b: print(
-            f"# tiles {d}/{t} (bucket {b}) {time.time()-t0:.1f}s", flush=True
-        ) if d % 64 == 0 or d == t else None,
-    )
+    prog = lambda d, t, b: print(  # noqa: E731
+        f"# tiles {d}/{t} (bucket {b}) {time.time()-t0:.1f}s", flush=True
+    ) if d % 64 == 0 or d == t else None
+    if args.layered:
+        # layer-wise shrinking halos: layer l only convolves where the
+        # remaining receptive field needs it (exact; see streaming.py)
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def apply_layered(pts, fts, cnt, sels, skips, lengths):
+            return model.apply({"params": params}, pts, fts, cnt, sels, skips,
+                               lengths=lengths, method="streaming_logits")
+
+        logits = stream_apply_layered(
+            apply_layered, xyz, feats,
+            radii=cfg.radii, tile_size=args.tile_size,
+            out_dim=cfg.num_classes, tile_batch=args.tile_batch,
+            progress=prog,
+        )
+    else:
+        @jax.jit
+        def apply_fn(pts, fts, mask):
+            return model.apply({"params": params}, pts, fts, mask, train=False)
+
+        logits = stream_apply(
+            apply_fn, xyz, feats,
+            halo=halo, tile_size=args.tile_size, out_dim=cfg.num_classes,
+            tile_batch=args.tile_batch, progress=prog,
+        )
     dt = time.time() - t0
     pred = logits.argmax(axis=1).astype(np.int32)
     rec = {
@@ -109,6 +129,7 @@ def main():
         "n_points": len(xyz),
         "seconds": round(dt, 2),
         "halo": halo,
+        "layered": bool(args.layered),
     }
     if lab is not None and not args.data_dir:
         m = s3dis.iou_metrics(pred, lab, cfg.num_classes)

@@ -27,10 +27,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from jax.experimental import checkify
+
 from pointwise_tpu.kernels.pointwise_conv_pallas import (
     LANE,
     N_CELLS,
     SENTINEL,
+    _SENTINEL_CUT,
     PwConvSpec,
     pointwise_conv_pallas,
     round_up,
@@ -159,6 +162,20 @@ def pointwise_conv(
 
     f32 = jnp.float32
     pts = points.astype(f32)
+    # Coordinates at |x| >= _SENTINEL_CUT are indistinguishable from padding
+    # (their neighborhoods silently drop).  This guard is FREE in normal
+    # runs and fails loudly under jax.experimental.checkify — wrap the
+    # calling function with checkify.checkify(..., errors=user_checks) to
+    # validate un-normalized inputs (e.g. georeferenced scans).
+    real = pts if mask is None else jnp.where(
+        mask.astype(bool)[..., None], pts, 0.0
+    )
+    checkify.debug_check(
+        jnp.all(jnp.abs(real) < _SENTINEL_CUT),
+        "pointwise_conv: real (unmasked) coordinates must satisfy |x| < "
+        "5e5 — larger values collide with the sentinel padding and their "
+        "neighborhoods are silently dropped; normalize/recenter the cloud.",
+    )
     if mask is not None:
         pts = jnp.where(mask.astype(bool)[..., None], pts, SENTINEL)
     pts = jnp.pad(pts, ((0, 0), (0, Mp - M), (0, 0)), constant_values=SENTINEL)

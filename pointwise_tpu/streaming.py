@@ -171,3 +171,137 @@ def stream_apply(
             if progress:
                 progress(done, len(jobs), b)
     return out
+
+
+def _nested_candidates(grid, xyz, lo, hi, halos):
+    """One tile's candidate set in GLOBAL morton order plus the nested-prefix
+    gather schedule.
+
+    The candidate array stays morton-ordered as a whole — the conv kernels'
+    CSR walk needs spatially compact 512-slot tiles, and re-ordering by halo
+    ring (thin shells) wrecks that.  The per-depth shrinkage is expressed as
+    index gathers instead: chain[l] = sorted positions (within S_0) of
+    S_{l+1} = tile + halo_{l+1}; sels[l] re-indexes S_{l+1} within S_l.
+
+    Returns (interior ids in output order, cand ids, counts[L+1],
+    sels[L], skips[L]) or None for an empty tile.
+    """
+    interior = grid.query_box(lo, hi)
+    if len(interior) == 0:
+        return None
+    sets = [grid.query_box(lo - h, hi + h + 1e-5) for h in halos]  # S_0..S_{L-1}
+    s0 = sets[0]
+    s0 = s0[np.argsort(morton_code(xyz[s0]), kind="stable")]
+    order_idx = np.argsort(s0, kind="stable")
+    sorted_ids = s0[order_idx]
+
+    def pos_in_s0(subset):
+        return np.sort(order_idx[np.searchsorted(sorted_ids, subset)])
+
+    chain = [pos_in_s0(s) for s in sets[1:]] + [pos_in_s0(interior)]
+    counts = np.asarray([len(s0)] + [len(c) for c in chain], np.int32)
+    sels = []
+    cur = np.arange(len(s0), dtype=np.int64)
+    for nxt in chain:  # S_{l+1} positions within S_l (both sorted)
+        sels.append(np.searchsorted(cur, nxt).astype(np.int32))
+        cur = nxt
+    skips = [np.searchsorted(chain[l], chain[-1]).astype(np.int32)
+             for l in range(len(chain))]
+    return s0[chain[-1]], s0, counts, sels, skips
+
+
+def stream_apply_layered(
+    apply_fn: Callable,
+    xyz: np.ndarray,
+    features: np.ndarray,
+    *,
+    radii: Sequence[float],
+    tile_size: float,
+    out_dim: int,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+    tile_batch: int = 4,
+    progress: Callable | None = None,
+) -> np.ndarray:
+    """Exact streaming with LAYER-WISE SHRINKING HALOS.
+
+    ``stream_apply`` runs every conv layer over the full tile+halo candidate
+    set; but layer ``l``'s outputs are only needed within the REMAINING
+    receptive field halo_l = sum(radii[l:]), so the candidate walk shrinks
+    with depth.  Each layer's needed set is a device-side index gather of
+    the previous one (global morton order preserved — see
+    _nested_candidates), and ``apply_fn(points, features, counts, sels,
+    skips, lengths) -> (B, p_L, out_dim)`` (e.g.
+    PointwiseSegmenter.streaming_logits) convolves centers=gather(sels[l])
+    against the current candidate array.  Exactness: same overlap-save
+    argument as stream_apply, applied per layer.
+
+    ``lengths`` is a static tuple padded once per bucket group from a small
+    ladder, so XLA compiles once per distinct schedule.
+    """
+    xyz = np.asarray(xyz, np.float32)
+    features = np.asarray(features, np.float32)
+    radii = [float(r) for r in radii]
+    # halos[l] = receptive field remaining BEFORE layer l
+    halos = [sum(radii[l:]) for l in range(len(radii))]
+    L = len(radii)
+    grid = GridIndex(xyz, tile_size)
+
+    jobs = []
+    for c in grid.nonempty_cells():
+        lo = grid.origin + c.astype(np.float32) * tile_size
+        hi = lo + tile_size
+        job = _nested_candidates(grid, xyz, lo, hi, halos)
+        if job is not None:
+            jobs.append((lo + 0.5 * tile_size, *job))
+
+    groups: dict[int, list] = {}
+    for job in jobs:
+        b = _bucket_for(int(job[3][0]), buckets)
+        groups.setdefault(b, []).append(job)
+
+    ladder = tuple(sorted({128, 256} | set(buckets)))
+
+    def pad_len(n):
+        # fine-grained above the ladder top: power-of-2 jumps waste up to 2x
+        # padded compute on big tiles; 8K-multiples keep the schedule small
+        # while bounding waste to <6% there.
+        if n <= ladder[-1]:
+            return _bucket_for(n, ladder)
+        return int(-(-n // 8192) * 8192)
+
+    out = np.zeros((len(xyz), out_dim), np.float32)
+    done = 0
+    for b in sorted(groups):
+        js = groups[b]
+        tbs = max(1, min(tile_batch, (8192 * tile_batch) // b))
+        # ONE static padded prefix schedule per bucket group (monotone: the
+        # per-tile counts are non-increasing and padding is monotone);
+        # per-chunk schedules would compile once per chunk.
+        gmax = np.max(np.stack([j[3] for j in js]), axis=0)
+        lengths = tuple(pad_len(int(m)) for m in gmax)
+        p0, p_last = lengths[0], lengths[-1]
+        for s in range(0, len(js), tbs):
+            chunk = js[s : s + tbs]
+            pts = np.full((tbs, p0, 3), SENTINEL, np.float32)
+            fts = np.zeros((tbs, p0, features.shape[-1]), np.float32)
+            cnt = np.zeros((tbs, L + 1), np.int32)
+            sels = [np.zeros((tbs, lengths[l + 1]), np.int32) for l in range(L)]
+            skips = [np.zeros((tbs, p_last), np.int32) for l in range(L)]
+            for t, (center, _, cand, counts, sel, skip) in enumerate(chunk):
+                k = len(cand)
+                pts[t, :k] = xyz[cand] - center     # translation-invariant
+                fts[t, :k] = features[cand]
+                cnt[t] = counts
+                for l in range(L):
+                    sels[l][t, : len(sel[l])] = sel[l]
+                    skips[l][t, : len(skip[l])] = skip[l]
+            logits = np.asarray(
+                apply_fn(pts, fts, cnt, tuple(sels), tuple(skips), lengths),
+                np.float32,
+            )
+            for t, (center, interior_ids, *_rest) in enumerate(chunk):
+                out[interior_ids] = logits[t, : len(interior_ids)]
+            done += len(chunk)
+            if progress:
+                progress(done, len(jobs), b)
+    return out

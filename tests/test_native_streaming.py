@@ -76,6 +76,48 @@ def test_streaming_matches_direct():
     np.testing.assert_allclose(streamed, direct, rtol=2e-4, atol=2e-4)
 
 
+def test_streaming_layered_matches_direct():
+    # Shrinking-halo streaming (ring-ordered prefixes, per-layer centers)
+    # must equal the full-scene forward exactly — same overlap-save argument
+    # applied per layer.
+    import functools
+
+    from pointwise_tpu.models import PointwiseSegmenter
+    from pointwise_tpu.streaming import stream_apply_layered
+
+    xyz, rgb, _ = synthetic.segmentation_scene(3, num_objects=3,
+                                               points_per_obj=128)
+    radii = (0.25, 0.5)
+    model = PointwiseSegmenter(
+        num_classes=5, channels=(8, 8), radii=radii, head_dims=(16,),
+        impl="reference", dropout_rate=0.0, use_global_context=False,
+    )
+    params = jax.jit(
+        lambda r: model.init(r, jnp.asarray(xyz[None]), jnp.asarray(rgb[None]),
+                             jnp.ones((1, len(xyz))), train=False)
+    )(jax.random.PRNGKey(0))["params"]
+
+    @jax.jit
+    def apply_fn(pts, fts, mask):
+        return model.apply({"params": params}, pts, fts, mask, train=False)
+
+    direct = np.asarray(
+        apply_fn(jnp.asarray(xyz[None]), jnp.asarray(rgb[None]),
+                 jnp.ones((1, len(xyz))))
+    )[0]
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def apply_layered(pts, fts, cnt, sels, skips, lengths):
+        return model.apply({"params": params}, pts, fts, cnt, sels, skips,
+                           lengths=lengths, method="streaming_logits")
+
+    streamed = stream_apply_layered(
+        apply_layered, xyz, rgb, radii=radii, tile_size=2.0, out_dim=5,
+        buckets=(256, 512, 1024), tile_batch=2,
+    )
+    np.testing.assert_allclose(streamed, direct, rtol=2e-4, atol=2e-4)
+
+
 def test_streaming_bucket_ladder_invariance():
     # SURVEY.md section 4 tier 2: the same scene through two bucket ladders
     # must produce identical outputs (padding/bucketing can't leak).

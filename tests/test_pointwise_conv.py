@@ -153,6 +153,26 @@ def test_cell_binning_structure():
     np.testing.assert_allclose(np.asarray(y[0, 0]), np.asarray(expect), rtol=2e-5, atol=2e-5)
 
 
+def test_checkify_guards_large_coordinates():
+    # SURVEY.md section 5 sanitizer row: out-of-range coordinates (which
+    # would silently collide with sentinel padding) fail loudly under
+    # checkify; in-range inputs pass the same guard.
+    from jax.experimental import checkify
+
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(30), b=1, n=32)
+
+    def f(pts_):
+        return pointwise_conv(pts_, feats, w, bias, radius=0.5, impl="pallas")
+
+    checked = checkify.checkify(f, errors=checkify.user_checks)
+    err, _ = checked(pts)
+    err.throw()  # in-range: no error
+    bad = pts.at[0, 3].set(jnp.asarray([7.0e5, 0.0, 0.0]))
+    err, _ = checked(bad)
+    with pytest.raises(Exception, match="sentinel"):
+        err.throw()
+
+
 def test_csr_forward_matches_reference():
     # CSR tile-pair walk (scalar-prefetch path) must be exact, including the
     # runtime dense fallback when a center tile exceeds the degree cap.
