@@ -61,6 +61,7 @@ def test_shapenetpart_h5(tmp_path):
     assert data.category.shape == (6,)
 
 
+@pytest.mark.slow
 def test_train_cli_with_real_format_archive(tmp_path):
     # end-to-end: the --data-dir path through the training loop
     import subprocess

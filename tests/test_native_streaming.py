@@ -1,6 +1,7 @@
 """Native grid-hash index + exact streaming inference tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -118,6 +119,7 @@ def test_streaming_layered_matches_direct():
     np.testing.assert_allclose(streamed, direct, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_streaming_bucket_ladder_invariance():
     # SURVEY.md section 4 tier 2: the same scene through two bucket ladders
     # must produce identical outputs (padding/bucketing can't leak).

@@ -7,6 +7,7 @@ XLA partitions over 8 host devices.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pointwise_tpu.ops import pointwise_conv, pointwise_conv_reference
@@ -29,6 +30,7 @@ def test_make_mesh():
     assert mesh.shape == {"data": 8, "space": 1}
 
 
+@pytest.mark.smoke
 def test_spatial_conv_matches_unsharded():
     pts, feats, w, bias = _problem(b=2, n=64)
     y_ref = pointwise_conv_reference(pts, feats, w, bias, radius=0.5)
@@ -256,6 +258,7 @@ def test_batchnorm_dp_trainer_matches_single():
     assert moved
 
 
+@pytest.mark.slow
 def test_spmd_seg_train_step_matches_unsharded():
     _spmd_seg_check(use_global_context=False)
 

@@ -21,6 +21,7 @@ def make_problem(key, b=2, n=80, cin=5, cout=7, spread=1.0):
     return pts, feats, w, bias
 
 
+@pytest.mark.smoke
 def test_forward_matches_reference():
     pts, feats, w, bias = make_problem(jax.random.PRNGKey(0))
     y_ref = pointwise_conv_reference(pts, feats, w, bias, radius=0.5)
@@ -57,6 +58,7 @@ def test_tiny_radius_only_self():
     np.testing.assert_allclose(np.asarray(y), np.asarray(expect), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.smoke
 def test_gradients_match_reference():
     pts, feats, w, bias = make_problem(jax.random.PRNGKey(5), b=2, n=60, cin=4, cout=3)
     key_g = jax.random.PRNGKey(9)
@@ -173,6 +175,7 @@ def test_checkify_guards_large_coordinates():
         err.throw()
 
 
+@pytest.mark.smoke
 def test_csr_forward_matches_reference():
     # CSR tile-pair walk (scalar-prefetch path) must be exact, including the
     # runtime dense fallback when a center tile exceeds the degree cap.
@@ -186,6 +189,7 @@ def test_csr_forward_matches_reference():
     np.testing.assert_allclose(np.asarray(y_csr2), np.asarray(y_ref2), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_csr_gradients_match_dense():
     """dW/dX take the scalar-prefetch CSR grids (not the dense fallback) and
     stay exact vs both the dense kernels and the reference impl."""
@@ -243,6 +247,7 @@ def test_csr_gradients_match_dense():
         )
 
 
+@pytest.mark.slow
 def test_csr_backward_chunking(monkeypatch):
     # Shrink the SMEM budget so the CSR dW/dX calls must chunk their scalar
     # tables; per-chunk results must recombine exactly (dW sums, dX concats).
@@ -265,6 +270,7 @@ def test_csr_backward_chunking(monkeypatch):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_csr_gradient_overflow_fallback():
     # huge radius -> every tile adjacent -> degree overflow -> the runtime
     # dense fallback must keep gradients exact.

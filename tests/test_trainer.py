@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pointwise_tpu.models import PointwiseClassifier, classification_loss
 from pointwise_tpu.train.configs import OptimizerConfig
@@ -57,6 +58,7 @@ def test_checkpoint_resume_roundtrip(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_resume_bitwise_identical(tmp_path):
     """Full-fidelity resume (SURVEY.md section 5 checkpoint row): a
     killed-and-resumed CLI run must replay the uninterrupted run exactly —
