@@ -237,7 +237,19 @@ def stream_apply_layered(
 
     ``lengths`` is a static tuple padded once per bucket group from a small
     ladder, so XLA compiles once per distinct schedule.
+
+    Transfer design (the axon tunnel makes host->HBM the bottleneck at these
+    sizes): the scene's xyz/features are uploaded ONCE; per tile the host
+    sends only int32 index/schedule arrays (~3x fewer bytes) and a jitted
+    stager gathers + recenters on device.  Staging and the device->host
+    logits fetch are double-buffered against compute.
     """
+    import collections
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
     xyz = np.asarray(xyz, np.float32)
     features = np.asarray(features, np.float32)
     radii = [float(r) for r in radii]
@@ -269,8 +281,32 @@ def stream_apply_layered(
             return _bucket_for(n, ladder)
         return int(-(-n // 8192) * 8192)
 
+    scene_xyz = jax.device_put(jnp.asarray(xyz))
+    scene_fts = jax.device_put(jnp.asarray(features))
+
+    @jax.jit
+    def _stage(sx, sf, cand, centers, n0):
+        live = (jnp.arange(cand.shape[1], dtype=jnp.int32)[None, :]
+                < n0[:, None])
+        pts = jnp.where(live[..., None], sx[cand] - centers[:, None, :],
+                        jnp.float32(SENTINEL))
+        fts = jnp.where(live[..., None], sf[cand], 0.0)
+        return pts, fts
+
     out = np.zeros((len(xyz), out_dim), np.float32)
     done = 0
+    pending: collections.deque = collections.deque()
+
+    def flush():
+        nonlocal done
+        logits_d, chunk, b = pending.popleft()
+        logits = np.asarray(logits_d, np.float32)   # device->host barrier
+        for t, (center, interior_ids, *_rest) in enumerate(chunk):
+            out[interior_ids] = logits[t, : len(interior_ids)]
+        done += len(chunk)
+        if progress:
+            progress(done, len(jobs), b)
+
     for b in sorted(groups):
         js = groups[b]
         tbs = max(1, min(tile_batch, (8192 * tile_batch) // b))
@@ -282,26 +318,30 @@ def stream_apply_layered(
         p0, p_last = lengths[0], lengths[-1]
         for s in range(0, len(js), tbs):
             chunk = js[s : s + tbs]
-            pts = np.full((tbs, p0, 3), SENTINEL, np.float32)
-            fts = np.zeros((tbs, p0, features.shape[-1]), np.float32)
+            cand_h = np.zeros((tbs, p0), np.int32)
+            ctr_h = np.zeros((tbs, 3), np.float32)
             cnt = np.zeros((tbs, L + 1), np.int32)
             sels = [np.zeros((tbs, lengths[l + 1]), np.int32) for l in range(L)]
             skips = [np.zeros((tbs, p_last), np.int32) for l in range(L)]
             for t, (center, _, cand, counts, sel, skip) in enumerate(chunk):
-                k = len(cand)
-                pts[t, :k] = xyz[cand] - center     # translation-invariant
-                fts[t, :k] = features[cand]
+                cand_h[t, : len(cand)] = cand
+                ctr_h[t] = center                   # translation-invariant
                 cnt[t] = counts
                 for l in range(L):
                     sels[l][t, : len(sel[l])] = sel[l]
                     skips[l][t, : len(skip[l])] = skip[l]
-            logits = np.asarray(
-                apply_fn(pts, fts, cnt, tuple(sels), tuple(skips), lengths),
-                np.float32,
-            )
-            for t, (center, interior_ids, *_rest) in enumerate(chunk):
-                out[interior_ids] = logits[t, : len(interior_ids)]
-            done += len(chunk)
-            if progress:
-                progress(done, len(jobs), b)
+            # async: stage (device gather) + dispatch while the previous
+            # chunk computes; only index/schedule arrays cross the host link
+            pts_d, fts_d = _stage(scene_xyz, scene_fts,
+                                  jax.device_put(cand_h),
+                                  jax.device_put(ctr_h),
+                                  jax.device_put(cnt[:, 0]))
+            logits_d = apply_fn(pts_d, fts_d, jnp.asarray(cnt),
+                                tuple(map(jnp.asarray, sels)),
+                                tuple(map(jnp.asarray, skips)), lengths)
+            pending.append((logits_d, chunk, b))
+            if len(pending) >= 2:
+                flush()
+    while pending:
+        flush()
     return out
