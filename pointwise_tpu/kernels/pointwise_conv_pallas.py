@@ -733,7 +733,12 @@ def _boxes_adjacency(radius, d_max, lo_r, hi_r, lo_c, hi_c):
     last = jnp.take_along_axis(jmap, last_idx, axis=-1)
     slot = jnp.arange(dm, dtype=jnp.int32)[None, None, :]
     jmap = jnp.where(slot < deg[..., None], jmap, last)
-    return jmap, deg, jnp.max(deg) > dm
+    n_cols = adj.shape[-1]
+    # Take the dense kernel when the walk would overflow the cap OR the
+    # adjacency is dense anyway (CSR's scalar-prefetch machinery is pure
+    # overhead when nearly every tile pair is active).
+    dense_better = jnp.mean(deg.astype(jnp.float32)) > 0.75 * n_cols
+    return jmap, deg, (jnp.max(deg) > dm) | dense_better
 
 
 def _tile_adjacency(spec: PwConvSpec, pts_r, pts_c):

@@ -197,11 +197,12 @@ def pointwise_conv(
     b = jnp.zeros((Cout,), f32) if bias is None else bias.astype(f32)
     b = jnp.pad(b, (0, cout_p - Cout))[None, None, :]
 
-    # CSR forward: worth it once the candidate-tile walk is long; the
+    # CSR: worth it once the candidate-tile walk is long enough for the
+    # bbox adjacency to be sparse (sorted blocks win from 8 tiles up); the
     # adjacency degree cap falls back to the dense kernel at runtime if a
     # center tile has more bbox neighbors than d_max (exactness preserved).
     n_j = Mp // tile_m
-    use_csr = (n_j >= 16) if csr is None else bool(csr)
+    use_csr = (n_j >= 8) if csr is None else bool(csr)
     # degree cap: geometric neighborhoods are bounded regardless of scene
     # size; overflowing rows trigger the (exact) runtime dense fallback, and
     # the kernel layer chunks centers so the SMEM tables always fit.
@@ -210,12 +211,14 @@ def pointwise_conv(
     if mask_mode is None:
         mask_mode = "compare"
 
-    # Resident forward (no accumulator scratch, fused finalize) whenever the
+    # Resident kernels (no accumulator scratch, fused finalize) whenever the
     # full candidate block fits comfortably in VMEM next to the cell sums.
+    # Kept orthogonal to use_csr: the CSR paths ignore it, but their runtime
+    # degree-overflow fallback then lands on the resident kernel instead of
+    # the slower scratch-grid one.
     feat_bytes = 2 if precision == "bfloat16" else 4
     resident = (
-        not use_csr
-        and Mp * cin_p * feat_bytes <= (4 << 20)
+        Mp * cin_p * feat_bytes <= (4 << 20)
         and N_CELLS * tile_n * cin_p * 4 <= (4 << 20)
         and Ncp * (cout_p + N_CELLS) * 4 <= (4 << 20)  # dx: resident g+counts
     )
