@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--layered", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="layer-wise shrinking halos (exact; faster)")
+    ap.add_argument("--dp", action="store_true",
+                    help="shard tile batches over all local devices")
     args = ap.parse_args()
     cfg = get_config(args.config)
 
@@ -104,11 +106,18 @@ def main():
             return model.apply({"params": params}, pts, fts, cnt, sels, skips,
                                lengths=lengths, method="streaming_logits")
 
+        mesh = None
+        if args.dp:
+            from pointwise_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+            print(f"# tile batches sharded over {mesh.shape['data']} devices",
+                  flush=True)
         logits = stream_apply_layered(
             apply_layered, xyz, feats,
             radii=cfg.radii, tile_size=args.tile_size,
             out_dim=cfg.num_classes, tile_batch=args.tile_batch,
-            progress=prog,
+            progress=prog, mesh=mesh,
         )
     else:
         @jax.jit

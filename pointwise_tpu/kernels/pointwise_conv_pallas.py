@@ -920,11 +920,12 @@ def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
                                      ops[3], wt),
             (pts_r, pts_c, g, counts),
         )
-    # Resident dX only pays off for short center walks: at 8+ unrolled
-    # center tiles the scheduler's value liveness blows scoped VMEM (45 MB
-    # at the 4096-pt seg shape) and the grid kernel with its Z scratch is
-    # faster (measured 9.7 vs 10.2 ms).
-    if spec.resident and spec.n_centers // spec.tile_m <= 4:
+    # Resident dX only pays off for short center walks: with more unrolled
+    # center tiles the scheduler's value liveness blows the 16 MB scoped
+    # VMEM limit (measured: 18.6 MB at 4 tiles / N=2048 C=124, 45 MB at 8
+    # tiles / N=4096) and the grid kernel with its Z scratch is competitive
+    # anyway (9.7 vs 10.2 ms at the seg shape).
+    if spec.resident and spec.n_centers // spec.tile_m <= 2:
         return _dx_call_resident(spec, pts_r, pts_c, g, counts, w)
     # Roles swapped vs fwd: the reduction dim is centers, so center tiles are
     # big (amortize the Z-scratch RMW) and candidate-out tiles small.

@@ -165,6 +165,8 @@ class ShapeNetPartSegmenter(nn.Module):
     remat: bool = False   # rematerialize conv blocks (memory <- FLOPs);
                           # NOTE: changes param scope names, so checkpoints
                           # are tied to the remat setting
+    # mesh axis name(s) the POINT dim is sharded over (inside shard_map)
+    context_axes: Sequence[str] = ()
 
     @nn.compact
     def __call__(self, points, category, features=None, mask=None, train: bool = False):
@@ -182,7 +184,7 @@ class ShapeNetPartSegmenter(nn.Module):
             )
             skips.append(x)
         h = jnp.concatenate(skips, axis=-1)
-        g = masked_pool(x, mask)
+        g = masked_pool(x, mask, tuple(self.context_axes) or None)
         onehot = jax.nn.one_hot(category, self.num_categories, dtype=h.dtype)
         cat = nn.Dense(64)(onehot)
         g = jnp.concatenate([g, cat], axis=-1)

@@ -221,6 +221,8 @@ def stream_apply_layered(
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     tile_batch: int = 4,
     progress: Callable | None = None,
+    mesh=None,
+    data_axis: str = "data",
 ) -> np.ndarray:
     """Exact streaming with LAYER-WISE SHRINKING HALOS.
 
@@ -243,6 +245,11 @@ def stream_apply_layered(
     sends only int32 index/schedule arrays (~3x fewer bytes) and a jitted
     stager gathers + recenters on device.  Staging and the device->host
     logits fetch are double-buffered against compute.
+
+    Multi-chip: pass a ``jax.sharding.Mesh`` to shard each tile batch over
+    ``data_axis`` (scene arrays replicated, per-chunk index arrays sharded;
+    GSPMD partitions the jitted stager/apply) — tile batches are
+    embarrassingly parallel, so serving scales linearly over the mesh.
     """
     import collections
     import functools
@@ -281,8 +288,20 @@ def stream_apply_layered(
             return _bucket_for(n, ladder)
         return int(-(-n // 8192) * 8192)
 
-    scene_xyz = jax.device_put(jnp.asarray(xyz))
-    scene_fts = jax.device_put(jnp.asarray(features))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        row_sh = NamedSharding(mesh, P(data_axis))
+        n_data = mesh.shape[data_axis]
+        put_scene = lambda a: jax.device_put(a, repl)       # noqa: E731
+        put_rows = lambda a: jax.device_put(a, row_sh)      # noqa: E731
+    else:
+        n_data = 1
+        put_scene = jax.device_put
+        put_rows = jax.device_put
+    scene_xyz = put_scene(jnp.asarray(xyz))
+    scene_fts = put_scene(jnp.asarray(features))
 
     @jax.jit
     def _stage(sx, sf, cand, centers, n0):
@@ -310,6 +329,7 @@ def stream_apply_layered(
     for b in sorted(groups):
         js = groups[b]
         tbs = max(1, min(tile_batch, (8192 * tile_batch) // b))
+        tbs = -(-tbs // n_data) * n_data   # batch dim divisible by the mesh
         # ONE static padded prefix schedule per bucket group (monotone: the
         # per-tile counts are non-increasing and padding is monotone);
         # per-chunk schedules would compile once per chunk.
@@ -333,12 +353,12 @@ def stream_apply_layered(
             # async: stage (device gather) + dispatch while the previous
             # chunk computes; only index/schedule arrays cross the host link
             pts_d, fts_d = _stage(scene_xyz, scene_fts,
-                                  jax.device_put(cand_h),
-                                  jax.device_put(ctr_h),
-                                  jax.device_put(cnt[:, 0]))
-            logits_d = apply_fn(pts_d, fts_d, jnp.asarray(cnt),
-                                tuple(map(jnp.asarray, sels)),
-                                tuple(map(jnp.asarray, skips)), lengths)
+                                  put_rows(cand_h),
+                                  put_rows(ctr_h),
+                                  put_rows(cnt[:, 0]))
+            logits_d = apply_fn(pts_d, fts_d, put_rows(cnt),
+                                tuple(put_rows(x) for x in sels),
+                                tuple(put_rows(x) for x in skips), lengths)
             pending.append((logits_d, chunk, b))
             if len(pending) >= 2:
                 flush()

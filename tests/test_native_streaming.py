@@ -119,6 +119,39 @@ def test_streaming_layered_matches_direct():
     np.testing.assert_allclose(streamed, direct, rtol=2e-4, atol=2e-4)
 
 
+def test_streaming_layered_data_parallel_matches():
+    # tile batches are embarrassingly parallel: sharding them over the mesh
+    # 'data' axis must not change a single output value.
+    import functools
+
+    from pointwise_tpu.models import PointwiseSegmenter
+    from pointwise_tpu.parallel import make_mesh
+    from pointwise_tpu.streaming import stream_apply_layered
+
+    xyz, rgb, _ = synthetic.segmentation_scene(7, num_objects=3,
+                                               points_per_obj=160)
+    radii = (0.3, 0.5)
+    model = PointwiseSegmenter(
+        num_classes=4, channels=(8, 8), radii=radii, head_dims=(8,),
+        impl="reference", dropout_rate=0.0, use_global_context=False,
+    )
+    params = jax.jit(
+        lambda r: model.init(r, jnp.asarray(xyz[None]), jnp.asarray(rgb[None]),
+                             jnp.ones((1, len(xyz))), train=False)
+    )(jax.random.PRNGKey(0))["params"]
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def apply_layered(pts, fts, cnt, sels, skips, lengths):
+        return model.apply({"params": params}, pts, fts, cnt, sels, skips,
+                           lengths=lengths, method="streaming_logits")
+
+    kw = dict(radii=radii, tile_size=2.0, out_dim=4, buckets=(256, 512, 1024))
+    single = stream_apply_layered(apply_layered, xyz, rgb, tile_batch=2, **kw)
+    sharded = stream_apply_layered(apply_layered, xyz, rgb, tile_batch=2,
+                                   mesh=make_mesh(), **kw)
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_streaming_bucket_ladder_invariance():
     # SURVEY.md section 4 tier 2: the same scene through two bucket ladders
