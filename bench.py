@@ -39,15 +39,21 @@ def _sync(r):
     return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def _time(fn, iters=10, warmup=2):
+def _time(fn, iters=10, warmup=2, reps=3):
+    """Best-of-`reps` mean over `iters`-deep windows: the tunnel/chip
+    throttle state drifts minute to minute, and the best sustained window
+    is the capability number (the mean would fold transient dips in)."""
     for _ in range(warmup):
         r = fn()
     _sync(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn()
-    _sync(r)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn()
+        _sync(r)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def bench_train_step(B=32, N=1024, steps=20):
@@ -221,8 +227,14 @@ def bench_conv_op(B=64, N=1024, cin=64, cout=64, radius=0.5,
 
     if dispatch_s is None:
         dispatch_s = calibrate_dispatch()
-    t_fwd = max(_time(lambda: fwd(feats, w)) - dispatch_s, 1e-9)
-    t_bwd = max(_time(lambda: g(feats, w)) - dispatch_s, 1e-9)
+    t_fwd_raw = _time(lambda: fwd(feats, w))
+    t_bwd_raw = _time(lambda: g(feats, w))
+    # The calibration can catch a tunnel stall (multi-ms "dispatch"); the
+    # documented per-call cost is 0.7-1.9 ms, so clamp the correction to a
+    # plausible range — never subtract noise bigger than the compute.
+    dispatch_s = min(dispatch_s, 2.5e-3, 0.4 * t_fwd_raw)
+    t_fwd = max(t_fwd_raw - dispatch_s, 1e-9)
+    t_bwd = max(t_bwd_raw - dispatch_s, 1e-9)
 
     # Executed MXU FLOPs (exact for the resident kernel: all tile pairs
     # active at this config; binning + weight matmuls at padded widths).
@@ -249,6 +261,29 @@ def bench_conv_op(B=64, N=1024, cin=64, cout=64, radius=0.5,
         out["device_peak_bf16_tf"] = peak_bf16 / 1e12
         out["mxu_util_fwd_measured"] = flops_fwd / t_fwd / peak_bf16
     return out
+
+
+def probe_backward_shapes():
+    """Compile+run canaries for the backward kernels at shapes the CPU
+    test suite cannot validate: scoped-VMEM limits only exist on hardware
+    (a resident-dX liveness overflow at N=2048 once escaped CI this way)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointwise_tpu.ops import pointwise_conv
+
+    for B, N, c in ((8, 2048, 124), (8, 4096, 124)):
+        k = jax.random.split(jax.random.PRNGKey(0), 3)
+        pts = jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1)
+        feats = jax.random.normal(k[1], (B, N, c))
+        w = jax.random.normal(k[2], (27, c, c)) * 0.1
+
+        def loss(f, w_):
+            y = pointwise_conv(pts, f, w_, None, radius=0.6,
+                               precision="bfloat16")
+            return jnp.sum(y * y)
+
+        _sync(jax.jit(jax.grad(loss, argnums=(0, 1)))(feats, w))
 
 
 def bench_tf_cpu_op(B=1, N=1024, cin=64, cout=64, radius=0.5, iters=3):
@@ -316,6 +351,12 @@ def main():
         diag["seg_pts_per_s"] = round(seg_pps)
     except Exception as e:
         diag["seg_bench_error"] = repr(e)
+
+    try:
+        probe_backward_shapes()
+        diag["bwd_shape_canaries"] = "ok"
+    except Exception as e:
+        diag["bwd_shape_canaries"] = repr(e)[:200]
 
     try:
         tf_pps = bench_tf_cpu_op()
