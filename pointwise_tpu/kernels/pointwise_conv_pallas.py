@@ -73,6 +73,11 @@ class PwConvSpec:
     mm_dtype: str = "float32"   # 'float32' | 'bfloat16' matmul inputs
     use_csr: bool = False       # forward walks only bbox-adjacent tile pairs
     d_max: int = 16             # CSR degree cap (runtime dense fallback)
+    # Runtime heuristic: fall back to the dense kernel when the adjacency is
+    # dense anyway.  Disabled when the caller FORCES csr=True (the op's
+    # documented force semantics; degree overflow still falls back for
+    # correctness).
+    csr_density_gate: bool = True
     # How the 27 cell-membership masks are built (fwd + dW binning):
     #   'compare' — 27x (code == k) compare+select on the float cell code.
     #   'const'   — benchmark ablation ONLY (all masks one, wrong results):
@@ -554,16 +559,17 @@ def _dx_kernel_csr(imap_ref, deg_ref, pr_ref, pc_ref, g_ref, cnt_ref, wt_ref,
     def _():
         g = g_ref[0]                 # (TNI, Coutp) upstream grads at centers
         cnts = cnt_ref[0]            # (TNI, 27) forward neighbor counts
-        code = _pairwise_code(pr, pc, spec.radius)
         inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)        # (TNI, 27)
-        for k in range(N_CELLS):
-            mk = (code == k).astype(mmt)
+
+        def emit(k, plane):
             gk = (g * inv_cnt[:, k : k + 1]).astype(mmt)
             z_ref[k] += jax.lax.dot_general(
-                mk, gk, (((0,), (0,)), ((), ())),
+                plane, gk, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_mm_precision(mmt),
             )
+
+        _foreach_mask(pr, pc, spec, mmt, emit)
 
     @pl.when(d == n_d - 1)
     def _():
@@ -662,17 +668,18 @@ def _dx_kernel(pr_ref, pc_ref, g_ref, cnt_ref, wt_ref, dx_ref, z_ref, *, spec):
     def _():
         g = g_ref[0]                 # (TNI, Coutp) upstream grads at centers
         cnts = cnt_ref[0]            # (TNI, 27) forward neighbor counts
-        code = _pairwise_code(pr, pc, spec.radius)
         inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)        # (TNI, 27)
-        for k in range(N_CELLS):
-            mk = (code == k).astype(mmt)
+
+        def emit(k, plane):
             gk = (g * inv_cnt[:, k : k + 1]).astype(mmt)
             # (TMO, Coutp) += M_k^T @ gk, contracting the center dim.
             z_ref[k] += jax.lax.dot_general(
-                mk, gk, (((0,), (0,)), ((), ())),
+                plane, gk, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_mm_precision(mmt),
             )
+
+        _foreach_mask(pr, pc, spec, mmt, emit)
 
     @pl.when(i == n_i - 1)
     def _():
@@ -710,10 +717,11 @@ def _col_tile_boxes(pts_t, tile):
     return lo, hi
 
 
-def _boxes_adjacency(radius, d_max, lo_r, hi_r, lo_c, hi_c):
+def _boxes_adjacency(radius, d_max, lo_r, hi_r, lo_c, hi_c,
+                     density_gate=True):
     """Per-row-tile list of bbox-adjacent column tiles (traced values feeding
     a CSR kernel's scalar prefetch).  Returns (jmap (B,nR,d_max), deg (B,nR),
-    overflowed bool scalar)."""
+    take-the-dense-kernel bool scalar)."""
     dm = d_max
     gap = jnp.maximum(
         jnp.maximum(lo_r[:, :, None, :] - hi_c[:, None, :, :],
@@ -733,19 +741,24 @@ def _boxes_adjacency(radius, d_max, lo_r, hi_r, lo_c, hi_c):
     last = jnp.take_along_axis(jmap, last_idx, axis=-1)
     slot = jnp.arange(dm, dtype=jnp.int32)[None, None, :]
     jmap = jnp.where(slot < deg[..., None], jmap, last)
-    n_cols = adj.shape[-1]
-    # Take the dense kernel when the walk would overflow the cap OR the
-    # adjacency is dense anyway (CSR's scalar-prefetch machinery is pure
-    # overhead when nearly every tile pair is active).
-    dense_better = jnp.mean(deg.astype(jnp.float32)) > 0.75 * n_cols
-    return jmap, deg, (jnp.max(deg) > dm) | dense_better
+    fallback = jnp.max(deg) > dm
+    if density_gate:
+        # Take the dense kernel when the adjacency is dense anyway (CSR's
+        # scalar-prefetch machinery is pure overhead when nearly every tile
+        # pair is active).
+        n_cols = adj.shape[-1]
+        fallback = fallback | (
+            jnp.mean(deg.astype(jnp.float32)) > 0.75 * n_cols
+        )
+    return jmap, deg, fallback
 
 
 def _tile_adjacency(spec: PwConvSpec, pts_r, pts_c):
     """Center-tile -> candidate-tile adjacency (forward/dW orientation)."""
     lo_r, hi_r = _row_tile_boxes(pts_r, spec.tile_n)
     lo_c, hi_c = _col_tile_boxes(pts_c, spec.tile_m)
-    return _boxes_adjacency(spec.radius, spec.d_max, lo_r, hi_r, lo_c, hi_c)
+    return _boxes_adjacency(spec.radius, spec.d_max, lo_r, hi_r, lo_c, hi_c,
+                            density_gate=spec.csr_density_gate)
 
 
 def _tile_adjacency_dx(spec: PwConvSpec, pts_r, pts_c, d_max):
@@ -754,7 +767,8 @@ def _tile_adjacency_dx(spec: PwConvSpec, pts_r, pts_c, d_max):
     candidate output tile)."""
     lo_r, hi_r = _col_tile_boxes(pts_c, spec.tile_n)
     lo_c, hi_c = _row_tile_boxes(pts_r, spec.tile_m)
-    return _boxes_adjacency(spec.radius, d_max, lo_r, hi_r, lo_c, hi_c)
+    return _boxes_adjacency(spec.radius, d_max, lo_r, hi_r, lo_c, hi_c,
+                            density_gate=spec.csr_density_gate)
 
 
 def _fwd_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, w, bias):

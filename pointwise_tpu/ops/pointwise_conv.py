@@ -94,7 +94,10 @@ def pointwise_conv(
       interpret: force/disable Pallas interpreter mode (None = by backend).
       tile_n/tile_m: kernel tile overrides (None = adaptive).
       precision: 'float32' | 'bfloat16' matmul inputs (f32 accumulation).
-      csr: force/disable the CSR tile-pair walk (None = auto by walk length).
+      csr: force/disable the CSR tile-pair walk (None = auto by walk length
+        and a runtime adjacency-density heuristic; True disables the
+        heuristic — only the correctness-required degree-overflow fallback
+        can still take the dense kernel).
       mask_mode: binning-mask construction; 'compare' (default, exact) or
         'const' (benchmark-only ablation with wrong results).
 
@@ -186,8 +189,12 @@ def pointwise_conv(
     ctr = jnp.pad(ctr, ((0, 0), (0, Ncp - Nc), (0, 0)), constant_values=-SENTINEL)
 
     # Features travel to the kernel already in the matmul dtype: the kernels
-    # cast to mm_dtype before every binning matmul anyway, so pre-casting is
-    # numerically identical and halves the feature DMA for bf16.
+    # cast to mm_dtype before every binning matmul anyway, so the FORWARD is
+    # numerically identical and the feature DMA halves for bf16.  Note the
+    # gradient implication: the custom VJP must return dX in the primal
+    # dtype, so with precision='bfloat16' the f32-accumulated dX rounds to
+    # bf16 at each conv boundary — standard mixed-precision semantics; use
+    # precision='float32' for f32-exact end-to-end gradients.
     feat_t = jnp.bfloat16 if precision == "bfloat16" else f32
     feats = features.astype(feat_t)
     feats = jnp.pad(feats, ((0, 0), (0, Mp - M), (0, cin_p - Cin)))
@@ -237,6 +244,7 @@ def pointwise_conv(
         mm_dtype=precision,
         use_csr=use_csr,
         d_max=d_max,
+        csr_density_gate=(csr is not True),
         mask_mode=mask_mode,
         resident=resident,
     )

@@ -346,8 +346,13 @@ class Trainer:
         }
         try:
             restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
-        except Exception:
-            # checkpoint without the extra payload
+        except ValueError as e:
+            # Only a tree-structure mismatch means "checkpoint without the
+            # extra payload"; anything else (I/O, dtype corruption) must
+            # surface — a silent retry would drop the checkpointed rng_base
+            # and quietly break bitwise resume.
+            if "do not match" not in str(e):
+                raise
             target.pop("extra")
             restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
         mngr.close()

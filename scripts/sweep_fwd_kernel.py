@@ -70,7 +70,7 @@ def main():
                 mask_mode=mode, tile_n=tn, tile_m=tm)
         if res:
             def patched(*a, **kw):
-                kw.setdefault("resident", True)
+                kw["resident"] = True   # override: ops always passes it
                 return orig_spec(*a, **kw)
             opmod.PwConvSpec = patched
         else:

@@ -58,6 +58,7 @@ def run_train_loop(trainer, cfg, args, *, make_epoch_iter, steps_per_epoch,
         skip = step % steps_per_epoch
         if skip:
             it = itertools.islice(it, skip, None)
+        step_at_entry = step
         for batch in pipeline.prefetch_to_device(it):
             rs = jax.random.fold_in(rng_base, step)
             metrics = trainer.step(batch, rs)
@@ -77,6 +78,12 @@ def run_train_loop(trainer, cfg, args, *, make_epoch_iter, steps_per_epoch,
                                         cfg.keep_checkpoints, extra=ck_extra)
             if step >= max_steps:
                 break
+        if step == step_at_entry:
+            raise ValueError(
+                "epoch iterator yielded no batches (dataset smaller than "
+                f"batch_size after the {skip}-batch resume offset?) — "
+                "training cannot make progress"
+            )
     if cfg.checkpoint_dir:
         trainer.save_checkpoint(cfg.checkpoint_dir, cfg.keep_checkpoints,
                                 extra=ck_extra)
