@@ -268,6 +268,52 @@ def test_spmd_seg_global_context_matches_unsharded():
     _spmd_seg_check(use_global_context=True)
 
 
+def test_spmd_trainer_checkpoint_resume(tmp_path):
+    # the SPMD (space_axis) trainer checkpoints and resumes like the plain
+    # one: restore-then-step equals uninterrupted stepping.
+    import os
+
+    from pointwise_tpu.models import PointwiseSegmenter
+    from pointwise_tpu.parallel.spmd import seg_spmd_loss_fn
+    from pointwise_tpu.train.configs import OptimizerConfig
+    from pointwise_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(data=4, space=2)
+    model = PointwiseSegmenter(
+        num_classes=3, channels=(8,), radii=(0.5,), head_dims=(8,),
+        dropout_rate=0.0, impl="spatial:space", use_global_context=False,
+    )
+    batch = _seg_batch()
+    params = model.clone(impl="reference").init(
+        jax.random.PRNGKey(1), batch["points"], batch["features"],
+        batch["mask"], train=False)["params"]
+    opt = OptimizerConfig(warmup_steps=1, decay_steps=10)
+    loss_fn = seg_spmd_loss_fn(model)
+    ckdir = os.fspath(tmp_path / "ck")
+    rng = jax.random.PRNGKey(2)
+
+    t1 = Trainer(loss_fn, jax.tree.map(jnp.copy, params), opt,
+                 mesh=mesh, space_axis="space", donate=False)
+    for _ in range(2):
+        t1.step(batch, rng)
+    t1.save_checkpoint(ckdir, extra={"rng_base": jax.device_get(rng)})
+    t1.step(batch, rng)
+    ref = jax.device_get(t1.state.params)
+
+    t2 = Trainer(loss_fn, params, opt, mesh=mesh, space_axis="space",
+                 donate=False)
+    assert t2.restore_checkpoint(
+        ckdir, extra={"rng_base": jax.device_get(jax.random.PRNGKey(0))}
+    ) == 2
+    np.testing.assert_array_equal(
+        np.asarray(t2.restored_extra["rng_base"]), np.asarray(rng))
+    t2.step(batch, rng)
+    for a, b in zip(jax.tree.leaves(ref),
+                    jax.tree.leaves(jax.device_get(t2.state.params))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_spmd_classifier_train_step_matches_unsharded():
     from pointwise_tpu.models import PointwiseClassifier, classification_loss
     from pointwise_tpu.parallel.spmd import cls_spmd_loss_fn
