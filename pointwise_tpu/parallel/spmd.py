@@ -55,7 +55,16 @@ def seg_spmd_loss_fn(model, *, jitter_sigma: float = 0.0,
 
 
 def cls_spmd_loss_fn(model) -> Callable:
-    """Sums-contract loss for a (spatially-shardable) classifier."""
+    """Sums-contract loss for a (spatially-shardable) classifier.
+
+    The classifier's only rng use is HEAD dropout, applied after the pooled
+    features are made identical on every space shard by the context
+    reduction — so the Trainer must be constructed with
+    ``rng_axes=(batch_axis,)``: folding the space index in too would draw a
+    different mask per space shard for the same replicated computation, and
+    the sharded step would no longer equal the unsharded one at
+    dropout_rate > 0.
+    """
 
     def loss_fn(params, batch, rng, train):
         logits = model.apply(

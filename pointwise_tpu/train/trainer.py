@@ -82,10 +82,13 @@ class Trainer:
     where every value is the LOCAL shard's sum and ``weight`` its
     normalizer share (mask count / batch rows).  The trainer psums each
     across the mesh and divides, so loss/grads/metrics equal the unsharded
-    global mean exactly.  ``rng`` is folded with the shard index, so dropout
-    is per-shard independent; per-CLOUD geometric augmentation (e.g. one
-    rotation per cloud) must happen on the host or key off the data index
-    only — not inside a spatially-sharded loss_fn.
+    global mean exactly.  ``rng`` is folded with the shard index along
+    ``rng_axes`` (default: both mesh axes → per-shard-independent dropout;
+    pass ``rng_axes=(batch_axis,)`` when the model's rng use is replicated
+    across space shards, e.g. a classifier's post-pool head dropout);
+    per-CLOUD geometric augmentation (e.g. one rotation per cloud) must
+    happen on the host or key off the data index only — not inside a
+    spatially-sharded loss_fn.
 
     Mutable model state (``model_state`` set, e.g. BatchNorm batch_stats):
     the loss contract becomes
@@ -111,6 +114,7 @@ class Trainer:
         batch_specs: dict | None = None,
         model_state=None,
         donate: bool = True,
+        rng_axes: tuple | None = None,
     ):
         self.tx = make_optimizer(opt_cfg)
         self.loss_fn = loss_fn
@@ -119,6 +123,16 @@ class Trainer:
         self.space_axis = space_axis
         self.batch_specs = batch_specs
         self.donate = donate
+        # SPMD rng folding: which mesh axes distinguish the per-shard rng.
+        # Default (both) gives independent dropout per shard — right for
+        # per-point dropout on spatially-sharded features.  A model whose
+        # ONLY rng use is replicated across space shards (e.g. a classifier's
+        # post-pool head dropout: the pooled features are identical on every
+        # space shard after the context psum) must fold the batch axis only
+        # (rng_axes=(batch_axis,)), or each space shard draws a different
+        # mask for the same replicated computation and the sharded step no
+        # longer equals the unsharded one.
+        self.rng_axes = rng_axes
         self.has_model_state = model_state is not None
         if self.has_model_state and space_axis is not None:
             raise ValueError("model_state (BatchNorm) + space_axis is not "
@@ -218,9 +232,12 @@ class Trainer:
         specs = self._spmd_specs(batch)
         loss_fn, tx = self.loss_fn, self.tx
 
+        rng_axes = self.rng_axes if self.rng_axes is not None else axes
+
         def shard_rng(rng):
-            idx = (jax.lax.axis_index(ba) * jax.lax.axis_size(sa)
-                   + jax.lax.axis_index(sa))
+            idx = jnp.int32(0)
+            for a in rng_axes:
+                idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
             return jax.random.fold_in(rng, idx)
 
         def psum_mean(tree, total_w):
@@ -258,7 +275,9 @@ class Trainer:
             total_w = jax.lax.psum(w, axes)
             metrics = dict(psum_mean(metric_sums, total_w))
             metrics["loss"] = jax.lax.psum(loss_sum, axes) / total_w
-            return metrics
+            # total_w rides along so evaluate() can weight this batch's means
+            # when accumulating across batches (ragged masks / padded tails).
+            return metrics, total_w
 
         repl_p = P()
         repl = NamedSharding(mesh, repl_p)
@@ -279,11 +298,11 @@ class Trainer:
             jax.shard_map(
                 local_eval, mesh=mesh,
                 in_specs=(repl_p, specs, repl_p),
-                out_specs=repl_p,
+                out_specs=(repl_p, repl_p),
                 check_vma=False,
             ),
             in_shardings=(repl, batch_sh, repl),
-            out_shardings=repl,
+            out_shardings=(repl, repl),
         )
 
     def step(self, batch, rng):
@@ -293,16 +312,34 @@ class Trainer:
         return metrics
 
     def evaluate(self, batches, rng):
-        """Mean metrics over an iterable of batches."""
-        total, count = {}, 0
+        """WEIGHTED mean metrics over an iterable of batches.
+
+        Each batch's per-batch means are weighted by the batch's true
+        normalizer — the mask count when the batch carries a ``mask`` (seg
+        blocks, padded tails), the row count otherwise; under SPMD the
+        eval step reports its psum'd global weight.  The result is the exact
+        global masked mean, matching the train-side sums contract (a plain
+        mean of per-batch means over-weights near-empty batches).
+        """
+        total, wsum = {}, 0.0
         for batch in batches:
             if self._eval_step is None:
                 self._build_spmd_steps(batch)
-            m = jax.device_get(self._eval_step(self.state, batch, rng))
+            out = self._eval_step(self.state, batch, rng)
+            if self.space_axis is not None:
+                m, w = jax.device_get(out)
+                w = float(w)
+            else:
+                m = jax.device_get(out)
+                if isinstance(batch, dict) and "mask" in batch:
+                    w = float(jnp.sum(batch["mask"]))
+                else:
+                    first = next(iter(batch.values())) if isinstance(batch, dict) else batch
+                    w = float(jnp.shape(first)[0])
             for k, v in m.items():
-                total[k] = total.get(k, 0.0) + float(v)
-            count += 1
-        return {k: v / max(count, 1) for k, v in total.items()}
+                total[k] = total.get(k, 0.0) + float(v) * w
+            wsum += w
+        return {k: v / max(wsum, 1e-9) for k, v in total.items()}
 
     # ---- checkpointing (orbax) ------------------------------------------
 
@@ -331,7 +368,11 @@ class Trainer:
         extra-state saving)."""
         import orbax.checkpoint as ocp
 
-        mngr = ocp.CheckpointManager(directory)
+        # item_handlers lets a FRESH manager read the checkpoint's structure
+        # (item_metadata) before any restore registers a handler.
+        mngr = ocp.CheckpointManager(
+            directory, item_handlers=ocp.StandardCheckpointHandler()
+        )
         step = mngr.latest_step() if step is None else step
         self.restored_extra = None
         if step is None:
@@ -339,22 +380,25 @@ class Trainer:
         import numpy as np
 
         target = _to_pure(self.state)
-        # probe with an extra-state template (orbax's strict matching cannot
-        # ignore surplus on-disk keys); fall back for checkpoints without it.
         target["extra"] = jax.device_get(extra) if extra is not None else {
             "rng_base": np.zeros(2, np.uint32)
         }
+        # Orbax's strict matching cannot ignore template keys the on-disk
+        # checkpoint lacks, so probe the checkpoint's STRUCTURE (its metadata
+        # tree) and shape the restore template to it: a pre-extra-state
+        # checkpoint drops 'extra', a norm!='batch'-era checkpoint restored
+        # into a BatchNorm trainer drops 'model_state' (keeping the
+        # initialized batch_stats).  Structural, not exception-message-based:
+        # real failures (I/O, dtype corruption) still surface from restore().
         try:
-            restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
-        except ValueError as e:
-            # Only a tree-structure mismatch means "checkpoint without the
-            # extra payload"; anything else (I/O, dtype corruption) must
-            # surface — a silent retry would drop the checkpointed rng_base
-            # and quietly break bitwise resume.
-            if "do not match" not in str(e):
-                raise
-            target.pop("extra")
-            restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
+            on_disk = set(mngr.item_metadata(step).keys())
+        except Exception:
+            on_disk = None   # metadata unreadable: attempt the full template
+        if on_disk is not None:
+            for opt_key in ("extra", "model_state"):
+                if opt_key in target and opt_key not in on_disk:
+                    target.pop(opt_key)
+        restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
         mngr.close()
         self.restored_extra = restored.get("extra")
         self.state = TrainState(

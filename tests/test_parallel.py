@@ -353,3 +353,45 @@ def test_spmd_classifier_train_step_matches_unsharded():
                     jax.tree.leaves(jax.device_get(trainer.state.params))):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_spmd_classifier_dropout_consistent_across_space_shards():
+    """ADVICE r2: the classifier's head dropout runs on the REPLICATED
+    post-pool features, so with rng_axes=('data',) the space-sharded step
+    must equal the space=1 step at dropout_rate > 0 (same per-data-shard
+    masks; folding the space index in would desynchronize them)."""
+    from pointwise_tpu.models import PointwiseClassifier
+    from pointwise_tpu.parallel.spmd import cls_spmd_loss_fn
+    from pointwise_tpu.train.configs import OptimizerConfig
+    from pointwise_tpu.train.trainer import Trainer
+
+    model = PointwiseClassifier(
+        num_classes=4, channels=(8,), radii=(0.6,), head_dims=(16,),
+        dropout_rate=0.5, impl="spatial:space", context_axes=("space",),
+    )
+    B, N = 8, 64
+    k = jax.random.split(jax.random.PRNGKey(0), 2)
+    batch = {
+        "points": jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1),
+        "label": jnp.arange(B) % 4,
+    }
+    params = model.clone(impl="reference", context_axes=()).init(
+        jax.random.PRNGKey(1), batch["points"], train=False)["params"]
+    opt = OptimizerConfig(warmup_steps=1, decay_steps=10)
+
+    t_sp = Trainer(cls_spmd_loss_fn(model), jax.tree.map(jnp.copy, params),
+                   opt, mesh=make_mesh(data=4, space=2), space_axis="space",
+                   rng_axes=("data",))
+    # reference arm: same data sharding (so the same per-data-shard rng
+    # folds), but NO space sharding — trivially exact at any dropout rate.
+    t_ref = Trainer(cls_spmd_loss_fn(model), params, opt,
+                    mesh=make_mesh(data=4, space=1), space_axis="space",
+                    rng_axes=("data",))
+    m_sp = t_sp.step(batch, jax.random.PRNGKey(2))
+    m_ref = t_ref.step(batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(t_ref.state.params)),
+                    jax.tree.leaves(jax.device_get(t_sp.state.params))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
