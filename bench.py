@@ -285,6 +285,21 @@ def probe_backward_shapes():
 
         _sync(jax.jit(jax.grad(loss, argnums=(0, 1)))(feats, w))
 
+    # streaming big-bucket canary: the layered streaming path pads tiles to
+    # 8K multiples with distinct center/candidate sets; those shapes (and
+    # their CSR walks) never run in the CPU suite, and scoped-VMEM limits
+    # only exist on hardware.
+    k = jax.random.split(jax.random.PRNGKey(1), 2)
+    pts = jax.random.uniform(k[0], (1, 16384, 3), minval=-4, maxval=4)
+    feats = jax.random.normal(k[1], (1, 16384, 6))
+    w = jax.random.normal(k[0], (27, 6, 64)) * 0.1
+    _sync(jax.jit(
+        lambda f, w_: pointwise_conv(
+            pts, f, w_, None, radius=0.8, centers=pts[:, :8192],
+            precision="bfloat16",
+        )
+    )(feats, w))
+
 
 def bench_tf_cpu_op(B=1, N=1024, cin=64, cout=64, radius=0.5, iters=3):
     """Vectorized TF-CPU arm of the operator spec (fwd+bwd), points/sec."""

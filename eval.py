@@ -59,7 +59,7 @@ def _pad_batch(batch: dict, batch_size: int):
 def eval_classification(cfg: ClassificationConfig, args):
     data = modelnet.load_modelnet40(
         cfg.data_dir or args.data_dir, "test", cfg.num_points,
-        synthetic_size=256, seed=cfg.seed,
+        synthetic_size=256, seed=cfg.seed, variant=cfg.variant,
     )
     if data.num_classes > cfg.num_classes:
         # more classes in the data than the config: the head must widen

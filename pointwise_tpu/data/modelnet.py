@@ -59,8 +59,12 @@ def load_modelnet40(
     n_points: int = 1024,
     synthetic_size: int = 512,
     seed: int = 0,
+    variant: str = "default",
 ) -> ClassificationData:
-    """Real archive if ``path`` has one; procedural primitives otherwise."""
+    """Real archive if ``path`` has one; procedural primitives otherwise.
+
+    ``variant='hard'`` selects the deformed procedural set (harder anchor,
+    see synthetic._harden); ignored when a real archive is present."""
     if path:
         data = _load_h5_dir(path, split)
         if data is not None:
@@ -69,7 +73,8 @@ def load_modelnet40(
             data.points = spatial.morton_sort_batch(data.points)
             return data
     seed = seed + (0 if split == "train" else 10_000)
-    pts, labs = synthetic.classification_set(seed, synthetic_size, n_points)
+    pts, labs = synthetic.classification_set(seed, synthetic_size, n_points,
+                                             variant=variant)
     pts = spatial.morton_sort_batch(pts)
     return ClassificationData(pts, labs, synthetic.NUM_CLASSES, name="synthetic")
 

@@ -94,11 +94,38 @@ def make_shape(rng: np.random.RandomState, class_id: int, n: int) -> np.ndarray:
     return _unit(p)
 
 
-def classification_set(seed: int, num_clouds: int, n_points: int = 1024):
-    """Returns (clouds (num, n, 3) f32, labels (num,) i32)."""
+def _harden(rng: np.random.RandomState, p: np.ndarray) -> np.ndarray:
+    """Deform one cloud so classes stop being linearly separable silhouettes:
+    anisotropic scaling, a full SO(3) rotation, surface jitter, and outliers.
+    Keeps a procedural CLASSIFICATION anchor off the 1.000 ceiling so it can
+    actually regress (VERDICT r2 weak #6)."""
+    p = p * rng.uniform(0.55, 1.45, 3)[None, :]
+    # uniform SO(3) rotation via QR of a gaussian matrix (sign-fixed)
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q *= np.sign(np.diag(r))[None, :]
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    p = p @ q
+    p = p + rng.normal(0, 0.03, p.shape)
+    n_out = max(1, len(p) // 32)                      # ~3% outliers
+    idx = rng.choice(len(p), n_out, replace=False)
+    p[idx] = rng.uniform(-1, 1, (n_out, 3))
+    return _unit(p)
+
+
+def classification_set(seed: int, num_clouds: int, n_points: int = 1024,
+                       variant: str = "default"):
+    """Returns (clouds (num, n, 3) f32, labels (num,) i32).
+
+    variant='hard' applies per-cloud deformations (_harden) — the harder
+    regression anchor (config cls_synthetic_hard)."""
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, NUM_CLASSES, num_clouds).astype(np.int32)
     clouds = np.stack([make_shape(rng, int(c), n_points) for c in labels])
+    if variant == "hard":
+        clouds = np.stack([_harden(rng, c) for c in clouds])
+    elif variant != "default":
+        raise ValueError(f"unknown variant {variant!r}")
     return clouds.astype(np.float32), labels
 
 

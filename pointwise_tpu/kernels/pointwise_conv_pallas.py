@@ -94,6 +94,13 @@ class PwConvSpec:
     # scheduler overlap mask VPU work with the binning matmuls.  Requires the
     # full (n_points, cin_p) feature block to fit VMEM.
     resident: bool = False
+    # External divisor counts: the finalize divides cell sums by a
+    # caller-provided (B, n_centers, 27) counts array instead of the
+    # accumulated ones-column.  This is what makes PARTIAL convolutions
+    # linear: with global counts fixed, y = sum over candidate subsets of
+    # the subset's finished output — the memory-bounded ring strategy
+    # (parallel/spatial.py) accumulates per-slab outputs under ppermute.
+    ext_counts: bool = False
 
 
 def _mm_precision(mm_dtype):
@@ -193,7 +200,11 @@ def _tiles_overlap(pr, pc, radius):
     return d2min <= jnp.float32(radius * radius) * 1.0001 + 1e-9
 
 
-def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref, acc_ref, *, spec):
+def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, *rest, spec):
+    if spec.ext_counts:
+        cntin_ref, y_ref, cnt_ref, acc_ref = rest
+    else:
+        (y_ref, cnt_ref, acc_ref), cntin_ref = rest, None
     j = pl.program_id(2)
     n_j = pl.num_programs(2)
 
@@ -211,31 +222,27 @@ def _fwd_kernel(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref, acc_ref, *,
 
     @pl.when(j == n_j - 1)
     def _():
-        cc = spec.cin_col
         sums = [acc_ref[k] for k in range(N_CELLS)]
-        xbars, cnts = [], []
-        for k in range(N_CELLS):
-            s = sums[k]                          # (TN, Cinp)
-            cnt = s[:, cc : cc + 1]              # (TN, 1) neighbor count
-            xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
-            cnts.append(cnt)
-        # one (TN, 27*Cinp) @ (27*Cinp, Coutp) matmul instead of 27 small ones
-        xcat = jnp.concatenate(xbars, axis=1)
-        wflat = w_ref[...].reshape(N_CELLS * spec.cin_p, spec.cout_p).astype(mmt)
-        y = jnp.dot(xcat, wflat, preferred_element_type=jnp.float32,
-                    precision=_mm_precision(mmt))
-        y_ref[0] = y + b_ref[0][0:1, :]
-        cnt_ref[0] = jnp.concatenate(cnts, axis=1)   # (TN, 27)
+        ce = None if cntin_ref is None else cntin_ref[0]
+        y, cnts = _finalize_tile(sums, w_ref, b_ref, spec, mmt, cnt_ext=ce)
+        y_ref[0] = y
+        cnt_ref[0] = cnts                            # (TN, 27)
 
 
-def _finalize_tile(sums, w_ref, b_ref, spec, mmt):
-    """Shared finalize: cell sums -> (y_tile, counts_tile)."""
+def _finalize_tile(sums, w_ref, b_ref, spec, mmt, cnt_ext=None):
+    """Shared finalize: cell sums -> (y_tile, counts_tile).
+
+    cnt_ext: optional (TN, 27) EXTERNAL divisor counts (spec.ext_counts —
+    the ring strategy's global counts); default divides by the accumulated
+    ones-column.  The returned counts tile is always the LOCAL accumulation.
+    """
     cc = spec.cin_col
     xbars, cnts = [], []
     for k in range(N_CELLS):
         s = sums[k]                          # (TN, Cinp)
         cnt = s[:, cc : cc + 1]              # (TN, 1) neighbor count
-        xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
+        div = cnt if cnt_ext is None else cnt_ext[:, k : k + 1]
+        xbars.append((s / jnp.maximum(div, 1.0)).astype(mmt))
         cnts.append(cnt)
     # one (TN, 27*Cinp) @ (27*Cinp, Coutp) matmul instead of 27 small ones
     xcat = jnp.concatenate(xbars, axis=1)
@@ -245,8 +252,7 @@ def _finalize_tile(sums, w_ref, b_ref, spec, mmt):
     return y + b_ref[0][0:1, :], jnp.concatenate(cnts, axis=1)
 
 
-def _fwd_kernel_resident(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref,
-                         *, spec):
+def _fwd_kernel_resident(pr_ref, pc_ref, f_ref, w_ref, b_ref, *rest, spec):
     """Dense forward with the candidate walk unrolled over values.
 
     Grid is (batch, center_tiles); pc/f blocks are the full candidate set
@@ -259,6 +265,10 @@ def _fwd_kernel_resident(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref,
     SLOWER than just computing every pair (sparse walks belong to the CSR
     kernel, which skips via the grid instead of in-body branches).
     """
+    if spec.ext_counts:
+        cntin_ref, y_ref, cnt_ref = rest
+    else:
+        (y_ref, cnt_ref), cntin_ref = rest, None
     pr = pr_ref[0]                   # (TN, 3)
     mmt = jnp.dtype(spec.mm_dtype)
     prec = _mm_precision(mmt)
@@ -274,24 +284,31 @@ def _fwd_kernel_resident(pr_ref, pc_ref, f_ref, w_ref, b_ref, y_ref, cnt_ref,
                 plane, x, preferred_element_type=jnp.float32, precision=prec)
 
         _foreach_mask(pr, pc, spec, mmt, emit)
-    y, cnts = _finalize_tile(sums, w_ref, b_ref, spec, mmt)
+    ce = None if cntin_ref is None else cntin_ref[0]
+    y, cnts = _finalize_tile(sums, w_ref, b_ref, spec, mmt, cnt_ext=ce)
     y_ref[0] = y
     cnt_ref[0] = cnts
 
 
-def _fwd_call_resident(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
+def _fwd_call_resident(spec: PwConvSpec, pts_r, pts_c, feats, w, bias,
+                       cnt_in=None):
     tn = spec.tile_n
     grid = (spec.batch, spec.n_centers // tn)
+    in_specs = [
+        _vmem((1, tn, 3), lambda b, i: (b, i, 0)),
+        _vmem((1, 3, spec.n_points), lambda b, i: (b, 0, 0)),
+        _vmem((1, spec.n_points, spec.cin_p), lambda b, i: (b, 0, 0)),
+        _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, i: (0, 0, 0)),
+        _vmem((1, 1, spec.cout_p), lambda b, i: (0, 0, 0)),
+    ]
+    ops = [pts_r, pts_c, feats, w, bias]
+    if spec.ext_counts:
+        in_specs.append(_vmem((1, tn, N_CELLS), lambda b, i: (b, i, 0)))
+        ops.append(cnt_in)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_resident, spec=spec),
         grid=grid,
-        in_specs=[
-            _vmem((1, tn, 3), lambda b, i: (b, i, 0)),
-            _vmem((1, 3, spec.n_points), lambda b, i: (b, 0, 0)),
-            _vmem((1, spec.n_points, spec.cin_p), lambda b, i: (b, 0, 0)),
-            _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, i: (0, 0, 0)),
-            _vmem((1, 1, spec.cout_p), lambda b, i: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             _vmem((1, tn, spec.cout_p), lambda b, i: (b, i, 0)),
             _vmem((1, tn, N_CELLS), lambda b, i: (b, i, 0)),
@@ -301,16 +318,20 @@ def _fwd_call_resident(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
             jax.ShapeDtypeStruct((spec.batch, spec.n_centers, N_CELLS), jnp.float32),
         ],
         interpret=spec.interpret,
-    )(pts_r, pts_c, feats, w, bias)
+    )(*ops)
 
 
-def _dw_kernel_resident(pr_ref, pc_ref, f_ref, g_ref, dw_ref, *, spec):
+def _dw_kernel_resident(pr_ref, pc_ref, f_ref, g_ref, *rest, spec):
     """dW with the candidate walk in values (grid (batch, center_tiles)).
 
     The (27, Cinp, Coutp) output block has a constant index map, so it stays
     resident in VMEM across the whole grid and accumulates the per-center-
     tile contributions ``xcat^T @ g``.
     """
+    if spec.ext_counts:
+        g_ref, cntin_ref, dw_ref = (g_ref,) + rest
+    else:
+        (dw_ref,), cntin_ref = rest, None
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -333,31 +354,43 @@ def _dw_kernel_resident(pr_ref, pc_ref, f_ref, g_ref, dw_ref, *, spec):
                 plane, x, preferred_element_type=jnp.float32, precision=prec)
 
         _foreach_mask(pr, pc, spec, mmt, emit)
-    cc = spec.cin_col
     g = g_ref[0].astype(mmt)                      # (TN, Coutp)
+    dw_ref[...] += _dw_finalize(sums, g, spec, mmt, cnt_ext=(
+        None if cntin_ref is None else cntin_ref[0]))
+
+
+def _dw_finalize(sums, g, spec, mmt, cnt_ext=None):
+    """Shared dW finalize: (27*Cinp, Coutp) contribution ``xcat^T @ g``."""
+    cc = spec.cin_col
     xbars = []
     for k in range(N_CELLS):
         cnt = sums[k][:, cc : cc + 1]
-        xbars.append((sums[k] / jnp.maximum(cnt, 1.0)).astype(mmt))
+        div = cnt if cnt_ext is None else cnt_ext[:, k : k + 1]
+        xbars.append((sums[k] / jnp.maximum(div, 1.0)).astype(mmt))
     xcat = jnp.concatenate(xbars, axis=1)         # (TN, 27*Cinp)
-    dw_ref[...] += jax.lax.dot_general(
+    return jax.lax.dot_general(
         xcat, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
+        preferred_element_type=jnp.float32, precision=_mm_precision(mmt),
     ).reshape(N_CELLS, spec.cin_p, spec.cout_p)
 
 
-def _dw_call_resident(spec: PwConvSpec, pts_r, pts_c, feats, g):
+def _dw_call_resident(spec: PwConvSpec, pts_r, pts_c, feats, g, cnt_in=None):
     tn = spec.tile_n
     grid = (spec.batch, spec.n_centers // tn)
+    in_specs = [
+        _vmem((1, tn, 3), lambda b, i: (b, i, 0)),
+        _vmem((1, 3, spec.n_points), lambda b, i: (b, 0, 0)),
+        _vmem((1, spec.n_points, spec.cin_p), lambda b, i: (b, 0, 0)),
+        _vmem((1, tn, spec.cout_p), lambda b, i: (b, i, 0)),
+    ]
+    ops = [pts_r, pts_c, feats, g]
+    if spec.ext_counts:
+        in_specs.append(_vmem((1, tn, N_CELLS), lambda b, i: (b, i, 0)))
+        ops.append(cnt_in)
     return pl.pallas_call(
         functools.partial(_dw_kernel_resident, spec=spec),
         grid=grid,
-        in_specs=[
-            _vmem((1, tn, 3), lambda b, i: (b, i, 0)),
-            _vmem((1, 3, spec.n_points), lambda b, i: (b, 0, 0)),
-            _vmem((1, spec.n_points, spec.cin_p), lambda b, i: (b, 0, 0)),
-            _vmem((1, tn, spec.cout_p), lambda b, i: (b, i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, i: (0, 0, 0)),
         ],
@@ -365,7 +398,7 @@ def _dw_call_resident(spec: PwConvSpec, pts_r, pts_c, feats, g):
             jax.ShapeDtypeStruct((N_CELLS, spec.cin_p, spec.cout_p), jnp.float32),
         ],
         interpret=spec.interpret,
-    )(pts_r, pts_c, feats, g)[0]
+    )(*ops)[0]
 
 
 def _dx_kernel_resident(pr_ref, pc_ref, g_ref, cnt_ref, wt_ref, dx_ref, *, spec):
@@ -425,11 +458,15 @@ def _dx_call_resident(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
 
 
 def _fwd_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, w_ref, b_ref,
-                    y_ref, cnt_ref, acc_ref, *, spec):
+                    *rest, spec):
     """CSR forward: grid dim 2 walks only the (<= d_max) candidate tiles the
     scalar-prefetched adjacency selected for this center tile.  Padded slots
     re-point the DMA at the previous block (no fetch) and are masked off via
     the degree test."""
+    if spec.ext_counts:
+        cntin_ref, y_ref, cnt_ref, acc_ref = rest
+    else:
+        (y_ref, cnt_ref, acc_ref), cntin_ref = rest, None
     b = pl.program_id(0)
     i = pl.program_id(1)
     d = pl.program_id(2)
@@ -450,27 +487,21 @@ def _fwd_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, w_ref, b_ref,
 
     @pl.when(d == n_d - 1)
     def _():
-        cc = spec.cin_col
         sums = [acc_ref[k] for k in range(N_CELLS)]
-        xbars, cnts = [], []
-        for k in range(N_CELLS):
-            s = sums[k]                          # (TN, Cinp)
-            cnt = s[:, cc : cc + 1]              # (TN, 1) neighbor count
-            xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
-            cnts.append(cnt)
-        # one (TN, 27*Cinp) @ (27*Cinp, Coutp) matmul instead of 27 small ones
-        xcat = jnp.concatenate(xbars, axis=1)
-        wflat = w_ref[...].reshape(N_CELLS * spec.cin_p, spec.cout_p).astype(mmt)
-        y = jnp.dot(xcat, wflat, preferred_element_type=jnp.float32,
-                    precision=_mm_precision(mmt))
-        y_ref[0] = y + b_ref[0][0:1, :]
-        cnt_ref[0] = jnp.concatenate(cnts, axis=1)   # (TN, 27)
+        ce = None if cntin_ref is None else cntin_ref[0]
+        y, cnts = _finalize_tile(sums, w_ref, b_ref, spec, mmt, cnt_ext=ce)
+        y_ref[0] = y
+        cnt_ref[0] = cnts                            # (TN, 27)
 
 
-def _dw_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, g_ref, dw_ref,
-                   acc_ref, *, spec):
+def _dw_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, g_ref, *rest,
+                   spec):
     """CSR dW: grid dim 2 walks only the candidate tiles the scalar-prefetched
     adjacency selected for this center tile (same walk as the CSR forward)."""
+    if spec.ext_counts:
+        cntin_ref, dw_ref, acc_ref = rest
+    else:
+        (dw_ref, acc_ref), cntin_ref = rest, None
     b = pl.program_id(0)
     i = pl.program_id(1)
     d = pl.program_id(2)
@@ -494,34 +525,32 @@ def _dw_kernel_csr(jmap_ref, deg_ref, pr_ref, pc_ref, f_ref, g_ref, dw_ref,
 
     @pl.when(d == n_d - 1)
     def _():
-        cc = spec.cin_col
         g = g_ref[0].astype(mmt)                  # (TN, Coutp)
-        xbars = []
-        for k in range(N_CELLS):
-            s = acc_ref[k]
-            cnt = s[:, cc : cc + 1]
-            xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
-        xcat = jnp.concatenate(xbars, axis=1)     # (TN, 27*Cinp)
-        dw_ref[...] += jax.lax.dot_general(
-            xcat, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_mm_precision(mmt),
-        ).reshape(N_CELLS, spec.cin_p, spec.cout_p)
+        sums = [acc_ref[k] for k in range(N_CELLS)]
+        dw_ref[...] += _dw_finalize(sums, g, spec, mmt, cnt_ext=(
+            None if cntin_ref is None else cntin_ref[0]))
 
 
-def _dw_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, g):
+def _dw_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, g,
+                 cnt_in=None):
     tn, tm = spec.tile_n, spec.tile_m
     dm = jmap.shape[-1]
     _TRACE_COUNTS["dw_csr"] += 1
+    in_specs = [
+        _vmem((1, tn, 3), lambda b, i, d, jm, dg: (b, i, 0)),
+        _vmem((1, 3, tm), lambda b, i, d, jm, dg: (b, 0, jm[b, i, d])),
+        _vmem((1, tm, spec.cin_p), lambda b, i, d, jm, dg: (b, jm[b, i, d], 0)),
+        _vmem((1, tn, spec.cout_p), lambda b, i, d, jm, dg: (b, i, 0)),
+    ]
+    ops = [jmap, deg, pts_r, pts_c, feats, g]
+    if spec.ext_counts:
+        in_specs.append(_vmem((1, tn, N_CELLS),
+                              lambda b, i, d, jm, dg: (b, i, 0)))
+        ops.append(cnt_in)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(spec.batch, spec.n_centers // tn, dm),
-        in_specs=[
-            _vmem((1, tn, 3), lambda b, i, d, jm, dg: (b, i, 0)),
-            _vmem((1, 3, tm), lambda b, i, d, jm, dg: (b, 0, jm[b, i, d])),
-            _vmem((1, tm, spec.cin_p), lambda b, i, d, jm, dg: (b, jm[b, i, d], 0)),
-            _vmem((1, tn, spec.cout_p), lambda b, i, d, jm, dg: (b, i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             _vmem((N_CELLS, spec.cin_p, spec.cout_p),
                   lambda b, i, d, jm, dg: (0, 0, 0)),
@@ -535,7 +564,7 @@ def _dw_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, g):
             jax.ShapeDtypeStruct((N_CELLS, spec.cin_p, spec.cout_p), jnp.float32),
         ],
         interpret=spec.interpret,
-    )(jmap, deg, pts_r, pts_c, feats, g)[0]
+    )(*ops)[0]
 
 
 def _dx_kernel_csr(imap_ref, deg_ref, pr_ref, pc_ref, g_ref, cnt_ref, wt_ref,
@@ -611,7 +640,11 @@ def _dx_call_csr(spec: PwConvSpec, imap, deg, pts_r, pts_c, g, counts, wt):
     )(imap, deg, pts_r, pts_c, g, counts, wt)[0]
 
 
-def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, dw_ref, acc_ref, *, spec):
+def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, *rest, spec):
+    if spec.ext_counts:
+        cntin_ref, dw_ref, acc_ref = rest
+    else:
+        (dw_ref, acc_ref), cntin_ref = rest, None
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -635,21 +668,11 @@ def _dw_kernel(pr_ref, pc_ref, f_ref, g_ref, dw_ref, acc_ref, *, spec):
 
     @pl.when(j == n_j - 1)
     def _():
-        cc = spec.cin_col
         g = g_ref[0].astype(mmt)                  # (TN, Coutp)
         sums = [acc_ref[k] for k in range(N_CELLS)]
-        xbars = []
-        for k in range(N_CELLS):
-            s = sums[k]
-            cnt = s[:, cc : cc + 1]
-            xbars.append((s / jnp.maximum(cnt, 1.0)).astype(mmt))
-        xcat = jnp.concatenate(xbars, axis=1)     # (TN, 27*Cinp)
         # (27*Cinp, Coutp) += xcat^T @ g in one contraction over centers
-        dw_ref[...] += jax.lax.dot_general(
-            xcat, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_mm_precision(mmt),
-        ).reshape(N_CELLS, spec.cin_p, spec.cout_p)
+        dw_ref[...] += _dw_finalize(sums, g, spec, mmt, cnt_ext=(
+            None if cntin_ref is None else cntin_ref[0]))
 
 
 def _dx_kernel(pr_ref, pc_ref, g_ref, cnt_ref, wt_ref, dx_ref, z_ref, *, spec):
@@ -771,20 +794,27 @@ def _tile_adjacency_dx(spec: PwConvSpec, pts_r, pts_c, d_max):
                             density_gate=spec.csr_density_gate)
 
 
-def _fwd_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, w, bias):
+def _fwd_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, w, bias,
+                  cnt_in=None):
     tn, tm = spec.tile_n, spec.tile_m
     _TRACE_COUNTS["fwd_csr"] += 1
+    in_specs = [
+        _vmem((1, tn, 3), lambda b, i, d, jm, dg: (b, i, 0)),
+        _vmem((1, 3, tm), lambda b, i, d, jm, dg: (b, 0, jm[b, i, d])),
+        _vmem((1, tm, spec.cin_p), lambda b, i, d, jm, dg: (b, jm[b, i, d], 0)),
+        _vmem((N_CELLS, spec.cin_p, spec.cout_p),
+              lambda b, i, d, jm, dg: (0, 0, 0)),
+        _vmem((1, 1, spec.cout_p), lambda b, i, d, jm, dg: (0, 0, 0)),
+    ]
+    ops = [jmap, deg, pts_r, pts_c, feats, w, bias]
+    if spec.ext_counts:
+        in_specs.append(_vmem((1, tn, N_CELLS),
+                              lambda b, i, d, jm, dg: (b, i, 0)))
+        ops.append(cnt_in)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(spec.batch, spec.n_centers // tn, spec.d_max),
-        in_specs=[
-            _vmem((1, tn, 3), lambda b, i, d, jm, dg: (b, i, 0)),
-            _vmem((1, 3, tm), lambda b, i, d, jm, dg: (b, 0, jm[b, i, d])),
-            _vmem((1, tm, spec.cin_p), lambda b, i, d, jm, dg: (b, jm[b, i, d], 0)),
-            _vmem((N_CELLS, spec.cin_p, spec.cout_p),
-                  lambda b, i, d, jm, dg: (0, 0, 0)),
-            _vmem((1, 1, spec.cout_p), lambda b, i, d, jm, dg: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             _vmem((1, tn, spec.cout_p), lambda b, i, d, jm, dg: (b, i, 0)),
             _vmem((1, tn, N_CELLS), lambda b, i, d, jm, dg: (b, i, 0)),
@@ -799,7 +829,7 @@ def _fwd_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, w, bias):
             jax.ShapeDtypeStruct((spec.batch, spec.n_centers, N_CELLS), jnp.float32),
         ],
         interpret=spec.interpret,
-    )(jmap, deg, pts_r, pts_c, feats, w, bias)
+    )(*ops)
 
 
 # Mosaic pads and double-buffers the scalar-prefetch windows in SMEM (1MB);
@@ -807,7 +837,7 @@ def _fwd_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, w, bias):
 _CSR_SMEM_BUDGET = 60_000
 
 
-def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
+def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias, cnt_in=None):
     if spec.use_csr:
         n_i = spec.n_centers // spec.tile_n
         rows_fit = max(1, _CSR_SMEM_BUDGET // (4 * spec.batch * (spec.d_max + 1)))
@@ -821,32 +851,39 @@ def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
                 c1 = min(c0 + chunk_nc, spec.n_centers)
                 if c1 - c0 != chunk_nc:
                     sub = dataclasses.replace(spec, n_centers=c1 - c0)
-                y, cnt = _fwd_call(sub, pts_r[:, c0:c1], pts_c, feats, w, bias)
+                y, cnt = _fwd_call(sub, pts_r[:, c0:c1], pts_c, feats, w, bias,
+                                   None if cnt_in is None else cnt_in[:, c0:c1])
                 ys.append(y)
                 cnts.append(cnt)
             return [jnp.concatenate(ys, axis=1), jnp.concatenate(cnts, axis=1)]
         jmap, deg, overflowed = _tile_adjacency(spec, pts_r, pts_c)
         dense_spec = dataclasses.replace(spec, use_csr=False)
+        extra = () if cnt_in is None else (cnt_in,)
         return jax.lax.cond(
             overflowed,
             lambda ops: _fwd_call(dense_spec, *ops),
             lambda ops: _fwd_call_csr(spec, jmap, deg, *ops),
-            (pts_r, pts_c, feats, w, bias),
+            (pts_r, pts_c, feats, w, bias) + extra,
         )
     if spec.resident:
-        return _fwd_call_resident(spec, pts_r, pts_c, feats, w, bias)
+        return _fwd_call_resident(spec, pts_r, pts_c, feats, w, bias, cnt_in)
     tn, tm = spec.tile_n, spec.tile_m
     grid = (spec.batch, spec.n_centers // tn, spec.n_points // tm)
+    in_specs = [
+        _vmem((1, tn, 3), lambda b, i, j: (b, i, 0)),
+        _vmem((1, 3, tm), lambda b, i, j: (b, 0, j)),
+        _vmem((1, tm, spec.cin_p), lambda b, i, j: (b, j, 0)),
+        _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, i, j: (0, 0, 0)),
+        _vmem((1, 1, spec.cout_p), lambda b, i, j: (0, 0, 0)),
+    ]
+    ops = [pts_r, pts_c, feats, w, bias]
+    if spec.ext_counts:
+        in_specs.append(_vmem((1, tn, N_CELLS), lambda b, i, j: (b, i, 0)))
+        ops.append(cnt_in)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, spec=spec),
         grid=grid,
-        in_specs=[
-            _vmem((1, tn, 3), lambda b, i, j: (b, i, 0)),
-            _vmem((1, 3, tm), lambda b, i, j: (b, 0, j)),
-            _vmem((1, tm, spec.cin_p), lambda b, i, j: (b, j, 0)),
-            _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, i, j: (0, 0, 0)),
-            _vmem((1, 1, spec.cout_p), lambda b, i, j: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             _vmem((1, tn, spec.cout_p), lambda b, i, j: (b, i, 0)),
             _vmem((1, tn, N_CELLS), lambda b, i, j: (b, i, 0)),
@@ -857,10 +894,10 @@ def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias):
         ],
         scratch_shapes=[pltpu.VMEM((N_CELLS, tn, spec.cin_p), jnp.float32)],
         interpret=spec.interpret,
-    )(pts_r, pts_c, feats, w, bias)
+    )(*ops)
 
 
-def _dw_call(spec: PwConvSpec, pts_r, pts_c, feats, g):
+def _dw_call(spec: PwConvSpec, pts_r, pts_c, feats, g, cnt_in=None):
     if spec.use_csr:
         n_i = spec.n_centers // spec.tile_n
         rows_fit = max(1, _CSR_SMEM_BUDGET // (4 * spec.batch * (spec.d_max + 1)))
@@ -872,30 +909,37 @@ def _dw_call(spec: PwConvSpec, pts_r, pts_c, feats, g):
             for c0 in range(0, spec.n_centers, chunk_nc):
                 c1 = min(c0 + chunk_nc, spec.n_centers)
                 sub = dataclasses.replace(spec, n_centers=c1 - c0)
-                part = _dw_call(sub, pts_r[:, c0:c1], pts_c, feats, g[:, c0:c1])
+                part = _dw_call(sub, pts_r[:, c0:c1], pts_c, feats, g[:, c0:c1],
+                                None if cnt_in is None else cnt_in[:, c0:c1])
                 dw = part if dw is None else dw + part
             return dw
         jmap, deg, overflowed = _tile_adjacency(spec, pts_r, pts_c)
         dense_spec = dataclasses.replace(spec, use_csr=False)
+        extra = () if cnt_in is None else (cnt_in,)
         return jax.lax.cond(
             overflowed,
             lambda ops: _dw_call(dense_spec, *ops),
             lambda ops: _dw_call_csr(spec, jmap, deg, *ops),
-            (pts_r, pts_c, feats, g),
+            (pts_r, pts_c, feats, g) + extra,
         )
     if spec.resident:
-        return _dw_call_resident(spec, pts_r, pts_c, feats, g)
+        return _dw_call_resident(spec, pts_r, pts_c, feats, g, cnt_in)
     tn, tm = spec.tile_n, spec.tile_m
     grid = (spec.batch, spec.n_centers // tn, spec.n_points // tm)
+    in_specs = [
+        _vmem((1, tn, 3), lambda b, i, j: (b, i, 0)),
+        _vmem((1, 3, tm), lambda b, i, j: (b, 0, j)),
+        _vmem((1, tm, spec.cin_p), lambda b, i, j: (b, j, 0)),
+        _vmem((1, tn, spec.cout_p), lambda b, i, j: (b, i, 0)),
+    ]
+    ops = [pts_r, pts_c, feats, g]
+    if spec.ext_counts:
+        in_specs.append(_vmem((1, tn, N_CELLS), lambda b, i, j: (b, i, 0)))
+        ops.append(cnt_in)
     return pl.pallas_call(
         functools.partial(_dw_kernel, spec=spec),
         grid=grid,
-        in_specs=[
-            _vmem((1, tn, 3), lambda b, i, j: (b, i, 0)),
-            _vmem((1, 3, tm), lambda b, i, j: (b, 0, j)),
-            _vmem((1, tm, spec.cin_p), lambda b, i, j: (b, j, 0)),
-            _vmem((1, tn, spec.cout_p), lambda b, i, j: (b, i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             _vmem((N_CELLS, spec.cin_p, spec.cout_p), lambda b, i, j: (0, 0, 0)),
         ],
@@ -904,7 +948,7 @@ def _dw_call(spec: PwConvSpec, pts_r, pts_c, feats, g):
         ],
         scratch_shapes=[pltpu.VMEM((N_CELLS, tn, spec.cin_p), jnp.float32)],
         interpret=spec.interpret,
-    )(pts_r, pts_c, feats, g)[0]
+    )(*ops)[0]
 
 
 def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
@@ -1004,3 +1048,95 @@ def _pw_bwd(spec, res, cts):
 
 
 pointwise_conv_pallas.defvjp(_pw_fwd, _pw_bwd)
+
+
+# ---- counts-only kernel + external-counts conv (ring strategy) -----------
+
+
+def _counts_kernel(pr_ref, pc_ref, cnt_ref, *, spec):
+    """Per-cell neighbor counts only — no features, no MXU.
+
+    Counts are pure geometry (sum_j M_k[i, j]), so the ring strategy can
+    compute GLOBAL counts from an all_gather of points alone (12 B/point)
+    before any feature leaves its home chip.  VPU row-reductions of the mask
+    planes; the 27 compare+selects dominate, as in the full kernels.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
+
+    pr = pr_ref[0]
+    pc = pc_ref[0]
+
+    @pl.when(_tiles_overlap(pr, pc, spec.radius))
+    def _():
+        code = _pairwise_code(pr, pc, spec.radius)
+        cnts = [
+            jnp.sum((code == jnp.float32(k)).astype(jnp.float32), axis=1,
+                    keepdims=True)
+            for k in range(N_CELLS)
+        ]
+        cnt_ref[0] += jnp.concatenate(cnts, axis=1)
+
+
+def _counts_call(spec: PwConvSpec, pts_r, pts_c):
+    tn, tm = spec.tile_n, spec.tile_m
+    grid = (spec.batch, spec.n_centers // tn, spec.n_points // tm)
+    return pl.pallas_call(
+        functools.partial(_counts_kernel, spec=spec),
+        grid=grid,
+        in_specs=[
+            _vmem((1, tn, 3), lambda b, i, j: (b, i, 0)),
+            _vmem((1, 3, tm), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=[
+            _vmem((1, tn, N_CELLS), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((spec.batch, spec.n_centers, N_CELLS),
+                                 jnp.float32),
+        ],
+        interpret=spec.interpret,
+    )(pts_r, pts_c)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pointwise_conv_pallas_ext(spec: PwConvSpec, pts_r, pts_c, feats, w, bias,
+                              cnt_in):
+    """Forward conv whose finalize divides by EXTERNAL counts ``cnt_in``
+    (B, n_centers, 27).  With global counts fixed, the op is LINEAR in the
+    candidate set: summing its outputs over disjoint candidate subsets gives
+    the full convolution — the memory-bounded ring accumulates these
+    partials under ppermute (parallel/spatial.py).  Requires
+    spec.ext_counts=True; returns y only.
+    """
+    y, _ = _fwd_call(spec, pts_r, pts_c, feats, w, bias, cnt_in=cnt_in)
+    return y
+
+
+def _pw_ext_fwd(spec, pts_r, pts_c, feats, w, bias, cnt_in):
+    y, _ = _fwd_call(spec, pts_r, pts_c, feats, w, bias, cnt_in=cnt_in)
+    return y, (pts_r, pts_c, feats, w, cnt_in)
+
+
+def _pw_ext_bwd(spec, res, g):
+    pts_r, pts_c, feats, w, cnt_in = res
+    g = g.astype(jnp.float32)
+    dw = _dw_call(spec, pts_r, pts_c, feats, g, cnt_in=cnt_in)
+    # dX divides by the same external counts the forward did — exactly the
+    # existing dX kernels' contract (counts are an input there already).
+    dx = _dx_call(spec, pts_r, pts_c, g, cnt_in, w)
+    dbias = jnp.sum(g, axis=(0, 1), keepdims=True)
+    return (
+        jnp.zeros_like(pts_r),
+        jnp.zeros_like(pts_c),
+        dx.astype(feats.dtype),
+        dw,
+        dbias,
+        jnp.zeros_like(cnt_in),   # counts are piecewise-constant geometry
+    )
+
+
+pointwise_conv_pallas_ext.defvjp(_pw_ext_fwd, _pw_ext_bwd)

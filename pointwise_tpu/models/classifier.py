@@ -39,6 +39,8 @@ class PointwiseClassifier(nn.Module):
     # mesh axis name(s) the POINT dim is sharded over (inside shard_map);
     # the pooled head then reduces across spatial shards (psum/pmax)
     context_axes: Sequence[str] = ()
+    # mesh axis name(s) to sync BatchNorm statistics over (shard_map only)
+    bn_axes: Sequence[str] = ()
 
     @nn.compact
     def __call__(self, points, features=None, mask=None, train: bool = False):
@@ -55,7 +57,8 @@ class PointwiseClassifier(nn.Module):
         )
         for c, r in zip(self.channels, self.radii):
             x = block_cls(c, r, impl=self.impl, norm=self.norm,
-                          precision=self.precision)(
+                          precision=self.precision,
+                          bn_axes=tuple(self.bn_axes))(
                 points, x, mask, train
             )
         h = masked_pool(x, mask, tuple(self.context_axes) or None)   # (B, 2C)

@@ -43,13 +43,10 @@ class PointwiseConv(nn.Module):
             if self.use_bias
             else None
         )
-        kwargs = {} if self.impl.startswith("spatial") else {
-            "precision": self.precision
-        }
         return pointwise_conv(
             points, x, w, b, radius=self.radius, mask=mask, impl=self.impl,
             centers=centers, center_mask=center_mask,
-            **kwargs,
+            precision=self.precision,
         )
 
 
@@ -62,6 +59,12 @@ class PointwiseConvBlock(nn.Module):
     norm: str = "layer"          # 'layer' | 'batch' | 'none'
     precision: str = "bfloat16"
     activation: Callable = nn.relu
+    # mesh axis name(s) to sync BatchNorm batch statistics over (inside
+    # shard_map: ('data', 'space') makes the moments GLOBAL, so a spatially
+    # sharded step normalizes identically to the unsharded one).  Under
+    # plain-jit data parallelism leave empty — XLA inserts the collectives
+    # for the global-batch reduction itself.
+    bn_axes: tuple = ()
 
     @nn.compact
     def __call__(self, points, x, mask=None, train: bool = False,
@@ -73,7 +76,8 @@ class PointwiseConvBlock(nn.Module):
         if self.norm == "layer":
             y = nn.LayerNorm()(y)
         elif self.norm == "batch":
-            y = nn.BatchNorm(use_running_average=not train, axis_name=None)(y)
+            y = nn.BatchNorm(use_running_average=not train,
+                             axis_name=tuple(self.bn_axes) or None)(y)
         elif self.norm != "none":
             raise ValueError(f"unknown norm: {self.norm!r}")
         y = self.activation(y)

@@ -42,6 +42,8 @@ class PointwiseSegmenter(nn.Module):
     # mesh axis name(s) the POINT dim is sharded over (inside shard_map);
     # makes the global-context pool reduce across spatial shards (psum/pmax)
     context_axes: Sequence[str] = ()
+    # mesh axis name(s) to sync BatchNorm statistics over (shard_map only)
+    bn_axes: Sequence[str] = ()
 
     def setup(self):
         block_cls = (
@@ -50,7 +52,8 @@ class PointwiseSegmenter(nn.Module):
         )
         self.blocks = [
             block_cls(c, r, impl=self.impl, norm=self.norm,
-                      precision=self.precision, name=f"PointwiseConvBlock_{i}")
+                      precision=self.precision, bn_axes=tuple(self.bn_axes),
+                      name=f"PointwiseConvBlock_{i}")
             for i, (c, r) in enumerate(zip(self.channels, self.radii))
         ]
         self.head = [
@@ -167,6 +170,8 @@ class ShapeNetPartSegmenter(nn.Module):
                           # are tied to the remat setting
     # mesh axis name(s) the POINT dim is sharded over (inside shard_map)
     context_axes: Sequence[str] = ()
+    # mesh axis name(s) to sync BatchNorm statistics over (shard_map only)
+    bn_axes: Sequence[str] = ()
 
     @nn.compact
     def __call__(self, points, category, features=None, mask=None, train: bool = False):
@@ -179,7 +184,8 @@ class ShapeNetPartSegmenter(nn.Module):
         )
         for c, r in zip(self.channels, self.radii):
             x = block_cls(c, r, impl=self.impl, norm=self.norm,
-                          precision=self.precision)(
+                          precision=self.precision,
+                          bn_axes=tuple(self.bn_axes))(
                 points, x, mask, train
             )
             skips.append(x)

@@ -35,7 +35,9 @@ from pointwise_tpu.kernels.pointwise_conv_pallas import (
     SENTINEL,
     _SENTINEL_CUT,
     PwConvSpec,
+    _counts_call,
     pointwise_conv_pallas,
+    pointwise_conv_pallas_ext,
     round_up,
 )
 from pointwise_tpu.ops import reference as _ref
@@ -75,6 +77,7 @@ def pointwise_conv(
     precision: str = "float32",
     csr: bool | None = None,
     mask_mode: str | None = None,
+    ext_counts: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Pointwise convolution (see ops/reference.py for exact semantics).
 
@@ -100,6 +103,12 @@ def pointwise_conv(
         can still take the dense kernel).
       mask_mode: binning-mask construction; 'compare' (default, exact) or
         'const' (benchmark-only ablation with wrong results).
+      ext_counts: optional (B, Nc, 27) EXTERNAL divisor counts (from
+        ``pointwise_conv_counts`` over the full candidate set).  The conv
+        then computes a PARTIAL convolution that is linear in the candidate
+        set — summing results over disjoint candidate subsets equals the
+        full convolution (the memory-bounded ring strategy,
+        parallel/spatial.py).  Pallas impl only.
 
     Returns:
       (Nc, Cout) or (B, Nc, Cout).
@@ -117,10 +126,13 @@ def pointwise_conv(
         return spatial_pointwise_conv(
             points, features, weights, bias,
             radius=radius, axis=axis, mask_local=mask, strategy=strategy,
+            precision=precision,
         )
     if impl == "auto":
         impl = "pallas"
     if impl == "reference":
+        if ext_counts is not None:
+            raise ValueError("ext_counts requires the pallas impl")
         return _ref.pointwise_conv_reference(
             points, features, weights, bias, radius=radius, mask=mask,
             centers=centers, center_mask=center_mask,
@@ -134,6 +146,7 @@ def pointwise_conv(
         mask = None if mask is None else mask[None]
         centers = None if centers is None else centers[None]
         center_mask = None if center_mask is None else center_mask[None]
+        ext_counts = None if ext_counts is None else ext_counts[None]
 
     self_conv = centers is None
     if self_conv:
@@ -247,10 +260,79 @@ def pointwise_conv(
         csr_density_gate=(csr is not True),
         mask_mode=mask_mode,
         resident=resident,
+        ext_counts=ext_counts is not None,
     )
-    y_p, _ = pointwise_conv_pallas(spec, ctr, jnp.swapaxes(pts, 1, 2), feats, w, b)
+    if ext_counts is None:
+        y_p, _ = pointwise_conv_pallas(spec, ctr, jnp.swapaxes(pts, 1, 2),
+                                       feats, w, b)
+    else:
+        cnt_p = jnp.pad(ext_counts.astype(f32), ((0, 0), (0, Ncp - Nc), (0, 0)))
+        y_p = pointwise_conv_pallas_ext(spec, ctr, jnp.swapaxes(pts, 1, 2),
+                                        feats, w, b, cnt_p)
     y = y_p[:, :Nc, :Cout].astype(features.dtype)
     cm = center_mask if not self_conv or mask is None else mask
     if cm is not None:
         y = y * cm.astype(y.dtype)[..., None]
     return y if batched else y[0]
+
+
+def pointwise_conv_counts(
+    points: jnp.ndarray,
+    *,
+    radius: float,
+    mask: jnp.ndarray | None = None,
+    centers: jnp.ndarray | None = None,
+    center_mask: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+    tile_n: int | None = None,
+    tile_m: int | None = None,
+) -> jnp.ndarray:
+    """Per-cell neighbor counts (B, Nc, 27) — geometry only, no features.
+
+    The building block of the memory-bounded ring strategy: counts depend on
+    positions alone (12 B/point), so global counts can be computed from an
+    all_gather of points before any feature leaves its home chip; the conv
+    then runs with ``ext_counts=`` over candidate subsets and its partial
+    outputs sum exactly.  Not differentiable (counts are piecewise-constant
+    in positions) — the result is wrapped in stop_gradient.
+    """
+    batched = points.ndim == 3
+    if not batched:
+        points = points[None]
+        mask = None if mask is None else mask[None]
+        centers = None if centers is None else centers[None]
+        center_mask = None if center_mask is None else center_mask[None]
+    self_conv = centers is None
+    if self_conv:
+        centers = points
+        center_mask = mask
+
+    B, M, _ = points.shape
+    Nc = centers.shape[1]
+    if tile_m is None:
+        tile_m = 512 if max(M, Nc) >= 512 else 128
+    if tile_n is None:
+        tile_n = 256 if max(M, Nc) >= 512 else 128
+    pad_to = max(tile_n, tile_m)
+    Mp = round_up(M, pad_to)
+    Ncp = round_up(Nc, pad_to)
+
+    f32 = jnp.float32
+    pts = points.astype(f32)
+    if mask is not None:
+        pts = jnp.where(mask.astype(bool)[..., None], pts, SENTINEL)
+    pts = jnp.pad(pts, ((0, 0), (0, Mp - M), (0, 0)), constant_values=SENTINEL)
+    ctr = centers.astype(f32)
+    if (not self_conv) and center_mask is not None:
+        ctr = jnp.where(center_mask.astype(bool)[..., None], ctr, -SENTINEL)
+    ctr = jnp.pad(ctr, ((0, 0), (0, Ncp - Nc), (0, 0)),
+                  constant_values=-SENTINEL)
+
+    spec = PwConvSpec(
+        radius=float(radius), batch=B, n_centers=Ncp, n_points=Mp,
+        cin_p=LANE, cout_p=LANE, cin_col=0, tile_n=tile_n, tile_m=tile_m,
+        interpret=_default_interpret() if interpret is None else interpret,
+    )
+    counts = _counts_call(spec, ctr, jnp.swapaxes(pts, 1, 2))[:, :Nc]
+    counts = jax.lax.stop_gradient(counts)
+    return counts if batched else counts[0]

@@ -32,24 +32,52 @@ from pointwise_tpu.models import (
 
 
 def seg_spmd_loss_fn(model, *, jitter_sigma: float = 0.0,
-                     jitter_clip: float = 0.02) -> Callable:
+                     jitter_clip: float = 0.02,
+                     stateful: bool = False) -> Callable:
     """Sums-contract loss for a (spatially-shardable) segmentation model.
 
     Per-point Gaussian jitter is safe per-shard (iid noise); per-CLOUD
     geometric augmentation (rotations) must happen on the host instead.
+
+    ``stateful=True`` (norm='batch'): implements the Trainer's SPMD
+    model_state contract, threading the 'batch_stats' collection.  The
+    model must be built with ``bn_axes=(batch_axis, space_axis)`` so its
+    BatchNorm moments are GLOBAL (flax pmean's over the shard_map axes) —
+    then the mutated stats are identical on every shard and the sharded
+    step equals the unsharded one.
     """
     from pointwise_tpu.data import augment
 
-    def loss_fn(params, batch, rng, train):
+    def _pts(batch, rng, train):
         pts = batch["points"]
         if train and jitter_sigma > 0:
             rng, rj = jax.random.split(rng)
             pts = augment.jitter(rj, pts, sigma=jitter_sigma, clip=jitter_clip)
-        logits = model.apply(
-            {"params": params}, pts, batch["features"], batch["mask"],
-            train=train, rngs={"dropout": rng},
-        )
-        return segmentation_loss_sums(logits, batch["label"], batch["mask"])
+        return pts, rng
+
+    if stateful:
+        def loss_fn(params, model_state, batch, rng, train):
+            pts, rng = _pts(batch, rng, train)
+            out = model.apply(
+                {"params": params, "batch_stats": model_state}, pts,
+                batch["features"], batch["mask"], train=train,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"] if train else False,
+            )
+            logits, mut = out if train else (out, None)
+            loss_sum, w, sums = segmentation_loss_sums(
+                logits, batch["label"], batch["mask"])
+            new_ms = mut["batch_stats"] if train else model_state
+            return loss_sum, w, (sums, new_ms)
+    else:
+        def loss_fn(params, batch, rng, train):
+            pts, rng = _pts(batch, rng, train)
+            logits = model.apply(
+                {"params": params}, pts, batch["features"], batch["mask"],
+                train=train, rngs={"dropout": rng},
+            )
+            return segmentation_loss_sums(logits, batch["label"],
+                                          batch["mask"])
 
     return loss_fn
 

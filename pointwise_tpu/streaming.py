@@ -32,56 +32,6 @@ DEFAULT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
 SENTINEL = 1.0e6  # matches the conv kernels' padding coordinate
 
 
-def cell_list_layout(sub_xyz: np.ndarray, cand: np.ndarray, chunk: int = 512,
-                     target_fill: int = 160):
-    """Re-lay candidates so every ``chunk``-slot block holds whole, spatially
-    compact grid cells (sentinel padding in the unused slots).
-
-    Equal-size Morton chunks of a big candidate set have straggler tiles
-    with huge bounding boxes (chunks that cross Morton discontinuities),
-    which wrecks both the kernels' bbox early-out and the CSR adjacency
-    degrees.  Packing whole cells per chunk keeps every candidate tile's
-    bbox cell-sized, so the tile-pair walk collapses to true geometric
-    neighbors.  Cost: a little padding (masked, sentinel-positioned slots
-    are free for the kernels).
-
-    Returns (slot_index int32 (n_slots,), n_slots multiple of chunk) where
-    slot_index[i] is an index into ``cand`` or -1 for padding.
-    """
-    n = len(sub_xyz)
-    ext = sub_xyz.max(0) - sub_xyz.min(0)
-    vol = float(np.prod(np.maximum(ext, 1e-3)))
-    h = max(0.15, (target_fill * vol / max(n, 1)) ** (1.0 / 3.0))
-    grid = GridIndex(sub_xyz, h)
-    starts = grid.cell_starts
-    order = grid.order
-    cells = np.where(np.diff(starts) > 0)[0]
-    # morton-order the cells themselves for locality between chunks
-    nz, ny = int(grid.dims[2]), int(grid.dims[1])
-    coords = np.stack([cells // (nz * ny), (cells // nz) % ny, cells % nz], 1)
-    cells = cells[np.argsort(morton_code(coords.astype(np.float32)), kind="stable")]
-
-    slots = []
-    cur = []
-    cur_len = 0
-    for c in cells:
-        pts_in = order[starts[c] : starts[c + 1]]
-        # oversized cells are split across chunks (still compact: one cell)
-        for s0 in range(0, len(pts_in), chunk):
-            piece = pts_in[s0 : s0 + chunk]
-            if cur_len + len(piece) > chunk:
-                cur.append(np.full(chunk - cur_len, -1, np.int32))
-                slots.append(np.concatenate(cur))
-                cur, cur_len = [], 0
-            cur.append(piece.astype(np.int32))
-            cur_len += len(piece)
-    if cur_len:
-        cur.append(np.full(chunk - cur_len, -1, np.int32))
-        slots.append(np.concatenate(cur))
-    slot_index = np.concatenate(slots) if slots else np.full(chunk, -1, np.int32)
-    return slot_index
-
-
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -127,8 +77,9 @@ def stream_apply(
             continue
         cand = grid.query_box(lo - halo, hi + halo + 1e-5)
         # Morton order keeps tiles compact enough for the kernels' bbox
-        # early-out / CSR walk.  (cell_list_layout gives perfectly compact
-        # tiles but its ~1.3x padding inflation measured slower overall.)
+        # early-out / CSR walk.  (A whole-cell 512-slot packing gives
+        # perfectly compact tiles but its ~1.3x padding inflation measured
+        # slower overall — GOLDEN.md "Rejected: cell-list layout".)
         cand = cand[np.argsort(morton_code(xyz[cand]), kind="stable")]
         slot_index = np.arange(len(cand), dtype=np.int32)
         jobs.append((lo + 0.5 * tile_size, interior, cand, slot_index))
@@ -173,32 +124,30 @@ def stream_apply(
     return out
 
 
-def _nested_candidates(grid, xyz, lo, hi, halos):
-    """One tile's candidate set in GLOBAL morton order plus the nested-prefix
-    gather schedule.
+def _nested_candidates(grid, lo, hi, halos):
+    """One tile's candidate set plus the nested-prefix gather schedule.
 
-    The candidate array stays morton-ordered as a whole — the conv kernels'
-    CSR walk needs spatially compact 512-slot tiles, and re-ordering by halo
-    ring (thin shells) wrecks that.  The per-depth shrinkage is expressed as
-    index gathers instead: chain[l] = sorted positions (within S_0) of
-    S_{l+1} = tile + halo_{l+1}; sels[l] re-indexes S_{l+1} within S_l.
+    REQUIRES the scene to be GLOBALLY morton-sorted (stream_apply_layered
+    pre-sorts once): every query_box result, sorted ascending by index, is
+    then automatically in morton order, so the schedule needs no per-tile
+    morton pass — just sorts + searchsorted chains.  The candidate array
+    stays morton-ordered as a whole (the conv kernels' CSR walk needs
+    spatially compact 512-slot tiles); the per-depth shrinkage is expressed
+    as index gathers: chain[l] = positions (within S_0) of S_{l+1} =
+    tile + halo_{l+1}; sels[l] re-indexes S_{l+1} within S_l.
 
     Returns (interior ids in output order, cand ids, counts[L+1],
     sels[L], skips[L]) or None for an empty tile.
     """
-    interior = grid.query_box(lo, hi)
+    interior = np.sort(grid.query_box(lo, hi))
     if len(interior) == 0:
         return None
-    sets = [grid.query_box(lo - h, hi + h + 1e-5) for h in halos]  # S_0..S_{L-1}
+    sets = [np.sort(grid.query_box(lo - h, hi + h + 1e-5))
+            for h in halos]                                    # S_0..S_{L-1}
     s0 = sets[0]
-    s0 = s0[np.argsort(morton_code(xyz[s0]), kind="stable")]
-    order_idx = np.argsort(s0, kind="stable")
-    sorted_ids = s0[order_idx]
-
-    def pos_in_s0(subset):
-        return np.sort(order_idx[np.searchsorted(sorted_ids, subset)])
-
-    chain = [pos_in_s0(s) for s in sets[1:]] + [pos_in_s0(interior)]
+    # subsets of the sorted s0 -> exact positions via binary search
+    chain = [np.searchsorted(s0, s).astype(np.int64) for s in sets[1:]]
+    chain.append(np.searchsorted(s0, interior).astype(np.int64))
     counts = np.asarray([len(s0)] + [len(c) for c in chain], np.int32)
     sels = []
     cur = np.arange(len(s0), dtype=np.int64)
@@ -252,26 +201,43 @@ def stream_apply_layered(
     embarrassingly parallel, so serving scales linearly over the mesh.
     """
     import collections
-    import functools
+    import concurrent.futures
+    import queue as queue_mod
+    import threading
 
     import jax
     import jax.numpy as jnp
 
-    xyz = np.asarray(xyz, np.float32)
-    features = np.asarray(features, np.float32)
+    from pointwise_tpu.native import morton_codes
+
+    xyz_in = np.asarray(xyz, np.float32)
+    features_in = np.asarray(features, np.float32)
+    # GLOBAL morton pre-sort, once: every per-tile candidate set is then a
+    # sorted-index array already in morton order — the schedule builder
+    # (_nested_candidates) drops its per-tile morton passes, the hottest
+    # host cost of round 2.  Outputs are written back through ``order``.
+    order = np.argsort(morton_codes(xyz_in), kind="stable")
+    xyz = np.ascontiguousarray(xyz_in[order])
+    features = np.ascontiguousarray(features_in[order])
     radii = [float(r) for r in radii]
     # halos[l] = receptive field remaining BEFORE layer l
     halos = [sum(radii[l:]) for l in range(len(radii))]
     L = len(radii)
     grid = GridIndex(xyz, tile_size)
 
-    jobs = []
-    for c in grid.nonempty_cells():
+    def build_job(c):
         lo = grid.origin + c.astype(np.float32) * tile_size
         hi = lo + tile_size
-        job = _nested_candidates(grid, xyz, lo, hi, halos)
-        if job is not None:
-            jobs.append((lo + 0.5 * tile_size, *job))
+        job = _nested_candidates(grid, lo, hi, halos)
+        if job is None:
+            return None
+        return (lo + 0.5 * tile_size, *job)
+
+    # schedule building is pure host work (native box queries + sorts, all
+    # GIL-releasing) — build every tile's schedule in parallel
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        jobs = [j for j in ex.map(build_job, grid.nonempty_cells())
+                if j is not None]
 
     groups: dict[int, list] = {}
     for job in jobs:
@@ -318,50 +284,75 @@ def stream_apply_layered(
 
     def flush():
         nonlocal done
-        logits_d, chunk, b = pending.popleft()
+        logits_d, interiors, b = pending.popleft()
         logits = np.asarray(logits_d, np.float32)   # device->host barrier
-        for t, (center, interior_ids, *_rest) in enumerate(chunk):
-            out[interior_ids] = logits[t, : len(interior_ids)]
-        done += len(chunk)
+        for t, interior_ids in enumerate(interiors):
+            # interior ids live in SORTED index space; map back through the
+            # morton pre-sort permutation into the caller's point order
+            out[order[interior_ids]] = logits[t, : len(interior_ids)]
+        done += len(interiors)
         if progress:
             progress(done, len(jobs), b)
 
-    for b in sorted(groups):
-        js = groups[b]
-        tbs = max(1, min(tile_batch, (8192 * tile_batch) // b))
-        tbs = -(-tbs // n_data) * n_data   # batch dim divisible by the mesh
-        # ONE static padded prefix schedule per bucket group (monotone: the
-        # per-tile counts are non-increasing and padding is monotone);
-        # per-chunk schedules would compile once per chunk.
-        gmax = np.max(np.stack([j[3] for j in js]), axis=0)
-        lengths = tuple(pad_len(int(m)) for m in gmax)
-        p0, p_last = lengths[0], lengths[-1]
-        for s in range(0, len(js), tbs):
-            chunk = js[s : s + tbs]
-            cand_h = np.zeros((tbs, p0), np.int32)
-            ctr_h = np.zeros((tbs, 3), np.float32)
-            cnt = np.zeros((tbs, L + 1), np.int32)
-            sels = [np.zeros((tbs, lengths[l + 1]), np.int32) for l in range(L)]
-            skips = [np.zeros((tbs, p_last), np.int32) for l in range(L)]
-            for t, (center, _, cand, counts, sel, skip) in enumerate(chunk):
-                cand_h[t, : len(cand)] = cand
-                ctr_h[t] = center                   # translation-invariant
-                cnt[t] = counts
-                for l in range(L):
-                    sels[l][t, : len(sel[l])] = sel[l]
-                    skips[l][t, : len(skip[l])] = skip[l]
-            # async: stage (device gather) + dispatch while the previous
-            # chunk computes; only index/schedule arrays cross the host link
-            pts_d, fts_d = _stage(scene_xyz, scene_fts,
-                                  put_rows(cand_h),
-                                  put_rows(ctr_h),
-                                  put_rows(cnt[:, 0]))
-            logits_d = apply_fn(pts_d, fts_d, put_rows(cnt),
-                                tuple(put_rows(x) for x in sels),
-                                tuple(put_rows(x) for x in skips), lengths)
-            pending.append((logits_d, chunk, b))
-            if len(pending) >= 2:
-                flush()
+    def pack_chunks(q):
+        """Producer thread: pad + pack every chunk's host arrays off the
+        dispatch critical path (round-2 profile: packing ran serially with
+        the device).  Bounded queue keeps a few chunks staged ahead."""
+        try:
+            for b in sorted(groups):
+                js = groups[b]
+                tbs = max(1, min(tile_batch, (8192 * tile_batch) // b))
+                tbs = -(-tbs // n_data) * n_data   # divisible by the mesh
+                # ONE static padded prefix schedule per bucket group
+                # (monotone: per-tile counts are non-increasing and padding
+                # is monotone); per-chunk schedules would compile per chunk.
+                gmax = np.max(np.stack([j[3] for j in js]), axis=0)
+                lengths = tuple(pad_len(int(m)) for m in gmax)
+                p0, p_last = lengths[0], lengths[-1]
+                for s in range(0, len(js), tbs):
+                    chunk = js[s : s + tbs]
+                    cand_h = np.zeros((tbs, p0), np.int32)
+                    ctr_h = np.zeros((tbs, 3), np.float32)
+                    cnt = np.zeros((tbs, L + 1), np.int32)
+                    sels = [np.zeros((tbs, lengths[l + 1]), np.int32)
+                            for l in range(L)]
+                    skips = [np.zeros((tbs, p_last), np.int32)
+                             for l in range(L)]
+                    for t, (center, _, cand, counts, sel, skip) in enumerate(
+                            chunk):
+                        cand_h[t, : len(cand)] = cand
+                        ctr_h[t] = center           # translation-invariant
+                        cnt[t] = counts
+                        for l in range(L):
+                            sels[l][t, : len(sel[l])] = sel[l]
+                            skips[l][t, : len(skip[l])] = skip[l]
+                    interiors = [c[1] for c in chunk]
+                    q.put((b, lengths, cand_h, ctr_h, cnt, sels, skips,
+                           interiors))
+        finally:
+            q.put(None)
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=3)
+    packer = threading.Thread(target=pack_chunks, args=(q,), daemon=True)
+    packer.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        b, lengths, cand_h, ctr_h, cnt, sels, skips, interiors = item
+        # async: stage (device gather) + dispatch while the previous chunk
+        # computes; only index/schedule arrays cross the host link
+        pts_d, fts_d = _stage(scene_xyz, scene_fts,
+                              put_rows(cand_h),
+                              put_rows(ctr_h),
+                              put_rows(cnt[:, 0]))
+        logits_d = apply_fn(pts_d, fts_d, put_rows(cnt),
+                            tuple(put_rows(x) for x in sels),
+                            tuple(put_rows(x) for x in skips), lengths)
+        pending.append((logits_d, interiors, b))
+        if len(pending) >= 2:
+            flush()
+    packer.join()
     while pending:
         flush()
     return out

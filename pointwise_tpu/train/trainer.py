@@ -98,8 +98,16 @@ class Trainer:
 
     The state threads through TrainState and checkpoints.  Under plain-jit
     data parallelism the batch-stat reductions see the GLOBAL batch (XLA
-    inserts the collectives); combining model_state with space_axis is not
-    supported (BatchNorm under shard_map would need axis_name plumbing).
+    inserts the collectives).  Combining model_state with ``space_axis``
+    composes the contracts: the model must sync its BatchNorm moments over
+    the mesh itself (``bn_axes=(batch_axis, space_axis)`` on the Flax
+    modules — shard_map gives the axes names, flax pmean's over them) and
+
+        loss_fn(params, model_state, batch, rng, train)
+            -> (loss_sum, weight, (metric_sums, new_model_state))
+
+    The synced new_model_state is identical on every shard, so it leaves
+    the shard_map replicated.
     """
 
     def __init__(
@@ -134,9 +142,6 @@ class Trainer:
         # longer equals the unsharded one.
         self.rng_axes = rng_axes
         self.has_model_state = model_state is not None
-        if self.has_model_state and space_axis is not None:
-            raise ValueError("model_state (BatchNorm) + space_axis is not "
-                             "supported; see Trainer docstring")
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -245,14 +250,21 @@ class Trainer:
                 lambda v: jax.lax.psum(v, axes) / total_w, tree
             )
 
+        has_ms = self.has_model_state
+
         def local_train(state, batch, rng):
             rng = shard_rng(rng)
 
             def lf(p):
-                loss_sum, w, metric_sums = loss_fn(p, batch, rng, True)
-                return loss_sum, (w, metric_sums)
+                if has_ms:
+                    loss_sum, w, (metric_sums, new_ms) = loss_fn(
+                        p, state.model_state, batch, rng, True)
+                else:
+                    loss_sum, w, metric_sums = loss_fn(p, batch, rng, True)
+                    new_ms = None
+                return loss_sum, (w, metric_sums, new_ms)
 
-            (loss_sum, (w, metric_sums)), grads = jax.value_and_grad(
+            (loss_sum, (w, metric_sums, new_ms)), grads = jax.value_and_grad(
                 lf, has_aux=True
             )(state.params)
             total_w = jax.lax.psum(w, axes)
@@ -265,13 +277,18 @@ class Trainer:
             metrics["grad_norm"] = optax.global_norm(grads)
             return (
                 TrainState(step=state.step + 1, params=params,
-                           opt_state=opt_state),
+                           opt_state=opt_state, model_state=new_ms),
                 metrics,
             )
 
         def local_eval(state, batch, rng):
             rng = shard_rng(rng)
-            loss_sum, w, metric_sums = loss_fn(state.params, batch, rng, False)
+            if has_ms:
+                loss_sum, w, (metric_sums, _) = loss_fn(
+                    state.params, state.model_state, batch, rng, False)
+            else:
+                loss_sum, w, metric_sums = loss_fn(state.params, batch, rng,
+                                                   False)
             total_w = jax.lax.psum(w, axes)
             metrics = dict(psum_mean(metric_sums, total_w))
             metrics["loss"] = jax.lax.psum(loss_sum, axes) / total_w
@@ -279,6 +296,12 @@ class Trainer:
             # when accumulating across batches (ragged masks / padded tails).
             return metrics, total_w
 
+        # check_vma=False: the conv kernels are pallas_calls, and under
+        # shard_map's varying-mesh-axes validation every pallas out_shape
+        # would need an explicit `vma` annotation (jax raises exactly that,
+        # suggesting check_vma=False).  The cross-shard semantics the check
+        # would guard are pinned by the == unsharded tests instead
+        # (tests/test_parallel.py).
         repl_p = P()
         repl = NamedSharding(mesh, repl_p)
         batch_sh = {k: NamedSharding(mesh, v) for k, v in specs.items()}

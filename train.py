@@ -144,11 +144,12 @@ def build_classifier(cfg: ClassificationConfig):
 
 def train_classification(cfg: ClassificationConfig, args):
     train_data = modelnet.load_modelnet40(
-        cfg.data_dir or args.data_dir, "train", cfg.num_points, seed=cfg.seed
+        cfg.data_dir or args.data_dir, "train", cfg.num_points, seed=cfg.seed,
+        variant=cfg.variant,
     )
     test_data = modelnet.load_modelnet40(
         cfg.data_dir or args.data_dir, "test", cfg.num_points,
-        synthetic_size=128, seed=cfg.seed,
+        synthetic_size=128, seed=cfg.seed, variant=cfg.variant,
     )
     if train_data.num_classes != cfg.num_classes:
         cfg = dataclasses.replace(cfg, num_classes=train_data.num_classes)
@@ -213,6 +214,9 @@ def train_segmentation(cfg: SegmentationConfig, args):
         impl="spatial:space" if spmd else cfg.impl,
         use_global_context=cfg.global_context,
         context_axes=("space",) if (spmd and cfg.global_context) else (),
+        # BatchNorm moments sync over the whole mesh inside shard_map, so
+        # --sp --norm batch normalizes identically to unsharded training
+        bn_axes=("data", "space") if (spmd and cfg.norm == "batch") else (),
     )
 
     def forward(variables, batch, rng, train, mutable):
@@ -231,7 +235,8 @@ def train_segmentation(cfg: SegmentationConfig, args):
     loss_fn = _wrap_forward(forward, cfg.norm == "batch")
 
     sample = s3dis.batch_template(cfg)
-    init_model = model.clone(impl=cfg.impl, context_axes=()) if spmd else model
+    init_model = (model.clone(impl=cfg.impl, context_axes=(), bn_axes=())
+                  if spmd else model)
     variables = jax.jit(
         lambda r: init_model.init(
             r, sample["points"], sample["features"], sample["mask"], train=False
@@ -239,12 +244,9 @@ def train_segmentation(cfg: SegmentationConfig, args):
     )(jax.random.PRNGKey(cfg.seed))
     params = variables["params"]
     if spmd:
-        if cfg.norm == "batch":
-            raise ValueError("--sp with norm='batch' is not supported "
-                             "(BatchNorm stats under shard_map need "
-                             "axis_name plumbing); use norm='layer'")
         # full SPMD training: mesh = (data x space), whole step in shard_map,
-        # sums-contract loss; eval/checkpoint/resume/dropout all first-class.
+        # sums-contract loss; eval/checkpoint/resume/dropout/BatchNorm all
+        # first-class (BN stats pmean over the mesh via bn_axes above).
         from pointwise_tpu.parallel import make_mesh
         from pointwise_tpu.parallel.spmd import seg_spmd_loss_fn
 
@@ -252,8 +254,10 @@ def train_segmentation(cfg: SegmentationConfig, args):
         print(f"# spmd mesh data:{mesh.shape['data']} x "
               f"space:{mesh.shape['space']}", flush=True)
         trainer = Trainer(
-            seg_spmd_loss_fn(model, jitter_sigma=0.005), params,
-            cfg.optimizer, mesh=mesh, space_axis="space",
+            seg_spmd_loss_fn(model, jitter_sigma=0.005,
+                             stateful=cfg.norm == "batch"),
+            params, cfg.optimizer, mesh=mesh, space_axis="space",
+            model_state=variables.get("batch_stats"),
         )
     else:
         trainer = Trainer(loss_fn, params, cfg.optimizer, mesh=_mesh(args),
