@@ -120,6 +120,50 @@ def calibrate_dispatch(iters=50):
     return (time.perf_counter() - t0) / iters
 
 
+def profile_device_time(fn, logdir="/tmp/pw_bench_prof", iters=4):
+    """Per-call DEVICE-side duration of ``fn``'s jitted program, from a
+    jax.profiler trace (VERDICT r2 task 6).
+
+    The axon tunnel adds 0.7-2.5+ ms of dispatch per call, serial with
+    compute; wall-clock minus a calibrated correction was the round-2
+    methodology and under-corrects when the tunnel stalls.  The trace's
+    /device:TPU plane reports what the chip itself executed — immune to the
+    tunnel.  Returns seconds/call for the largest aggregated device event
+    (the jit program entry: kernel + in-program slices, slightly
+    conservative for the kernel alone), or None if no trace was produced.
+    """
+    import glob
+    import shutil
+
+    import jax
+
+    shutil.rmtree(logdir, ignore_errors=True)
+    r = fn()
+    _sync(r)                       # compiled before tracing
+    jax.profiler.start_trace(logdir)
+    try:
+        for _ in range(iters):
+            r = fn()
+        _sync(r)
+    finally:
+        jax.profiler.stop_trace()
+    files = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
+    if not files:
+        return None
+    pd = jax.profiler.ProfileData.from_file(files[-1])
+    best = 0.0
+    for plane in pd.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        tot = {}
+        for line in plane.lines:
+            for ev in line.events:
+                tot[ev.name] = tot.get(ev.name, 0) + ev.duration_ns
+        if tot:
+            best = max(best, max(tot.values()))
+    return best / 1e9 / iters if best else None
+
+
 def calibrate_peak_bf16(m=4096, reps=16, iters=3):
     """Sustained device bf16 matmul rate, measured (not assumed): a chain of
     dependent m^3 matmuls inside one call (full dispatch amortization, no
@@ -244,6 +288,13 @@ def bench_conv_op(B=64, N=1024, cin=64, cout=64, radius=0.5,
     flops_bin = B * (npad // 128) * 27 * 2 * 128 * npad * cinp
     flops_w = B * (npad // 128) * 27 * 2 * 128 * cinp * coutp
     flops_fwd = flops_bin + flops_w
+    # USEFUL FLOPs (MFU proper): exclude padded lanes — the binning matmul
+    # carries cin+1 useful lanes of cinp (features + the counts column),
+    # the weight matmul contracts 27*(cin+1) useful rows into cout useful
+    # columns.  VERDICT r2: report both readings side by side.
+    flops_bin_u = B * (npad // 128) * 27 * 2 * 128 * N * (cin + 1)
+    flops_w_u = B * (npad // 128) * 27 * 2 * 128 * (cin + 1) * cout
+    flops_fwd_u = flops_bin_u + flops_w_u
     # v5e paper peaks: 197 TFLOP/s bf16; f32 (bf16x3 default passes) ~98 TF.
     nominal = 197e12 if precision == "bfloat16" else 98.4e12
     out = {
@@ -253,6 +304,7 @@ def bench_conv_op(B=64, N=1024, cin=64, cout=64, radius=0.5,
         "t_fwdbwd_ms": t_bwd * 1e3,
         "dispatch_ms": dispatch_s * 1e3,
         "mxu_util_fwd_nominal": flops_fwd / t_fwd / nominal,
+        "mxu_util_fwd_useful": flops_fwd_u / t_fwd / nominal,
         "precision": precision,
     }
     if precision == "bfloat16":
@@ -260,6 +312,22 @@ def bench_conv_op(B=64, N=1024, cin=64, cout=64, radius=0.5,
             peak_bf16 = calibrate_peak_bf16()
         out["device_peak_bf16_tf"] = peak_bf16 / 1e12
         out["mxu_util_fwd_measured"] = flops_fwd / t_fwd / peak_bf16
+        out["mxu_util_fwd_useful_measured"] = flops_fwd_u / t_fwd / peak_bf16
+    # Profiler cross-check (VERDICT r2 task 6): the analytic FLOP model's
+    # time denominator, re-measured on the DEVICE plane of a jax.profiler
+    # trace.  XLA cost analysis cannot see inside a pallas custom call, so
+    # the FLOP count stays analytic (exact by construction: the resident
+    # kernel walks every tile pair at this config); the trace validates the
+    # time axis — and, through it, the dispatch-correction methodology.
+    try:
+        t_fwd_dev = profile_device_time(lambda: fwd(feats, w))
+    except Exception:
+        t_fwd_dev = None
+    if t_fwd_dev:
+        out["t_fwd_device_ms"] = t_fwd_dev * 1e3
+        out["flops_model_vs_profiler"] = t_fwd / t_fwd_dev
+        out["mxu_util_fwd_nominal_device"] = flops_fwd / t_fwd_dev / nominal
+        out["mxu_util_fwd_useful_device"] = flops_fwd_u / t_fwd_dev / nominal
     return out
 
 

@@ -141,10 +141,15 @@ def eval_segmentation_streaming(cfg: SegmentationConfig, args, scenes,
         args.checkpoint_dir,
     )
 
-    @functools.partial(jax.jit, static_argnums=(5,))
-    def apply_layered(pts, fts, cnt, sels, skips, lengths):
-        return model.apply({"params": params}, pts, fts, cnt, sels, skips,
+    # params as an argument: weight-independent HLO -> the persistent
+    # compile cache hits across processes/checkpoints (see infer.py)
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def apply_layered_p(p, pts, fts, cnt, sels, skips, lengths):
+        return model.apply({"params": p}, pts, fts, cnt, sels, skips,
                            lengths=lengths, method="streaming_logits")
+
+    def apply_layered(pts, fts, cnt, sels, skips, lengths):
+        return apply_layered_p(params, pts, fts, cnt, sels, skips, lengths)
 
     halo = float(sum(cfg.radii))
     all_pred, all_lab = [], []

@@ -101,10 +101,17 @@ def main():
         # remaining receptive field needs it (exact; see streaming.py)
         import functools
 
-        @functools.partial(jax.jit, static_argnums=(5,))
-        def apply_layered(pts, fts, cnt, sels, skips, lengths):
-            return model.apply({"params": params}, pts, fts, cnt, sels, skips,
+        # params travel as an ARGUMENT (not a closure constant): the jitted
+        # HLO is then weight-independent, so the persistent compile cache
+        # hits across processes and across checkpoints (closure params bake
+        # the weights into the program as constants and defeat it).
+        @functools.partial(jax.jit, static_argnums=(6,))
+        def apply_layered_p(p, pts, fts, cnt, sels, skips, lengths):
+            return model.apply({"params": p}, pts, fts, cnt, sels, skips,
                                lengths=lengths, method="streaming_logits")
+
+        def apply_layered(pts, fts, cnt, sels, skips, lengths):
+            return apply_layered_p(params, pts, fts, cnt, sels, skips, lengths)
 
         mesh = None
         if args.dp:
@@ -121,8 +128,11 @@ def main():
         )
     else:
         @jax.jit
+        def apply_p(p, pts, fts, mask):
+            return model.apply({"params": p}, pts, fts, mask, train=False)
+
         def apply_fn(pts, fts, mask):
-            return model.apply({"params": params}, pts, fts, mask, train=False)
+            return apply_p(params, pts, fts, mask)
 
         logits = stream_apply(
             apply_fn, xyz, feats,

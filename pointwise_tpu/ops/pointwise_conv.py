@@ -54,6 +54,24 @@ def set_interpret(value: bool | None) -> None:
     _FORCE_INTERPRET = value
 
 
+# Input validation (the sentinel-collision guard) is OPT-IN:
+# checkify.debug_check embeds a globally-incrementing error code into the
+# traced program, so with it always on, a program's HLO depends on how many
+# conv traces happened before it in the process — which defeats the
+# persistent compile cache across processes (measured round 3: every
+# streaming bucket-group program recompiled on every CLI run, ~65 s each
+# time).  Enable it in tests / debugging sessions:
+#     pointwise_conv.set_validation(True)
+# and wrap the calling function with checkify.checkify(..., errors=
+# checkify.user_checks) to surface the error.
+_VALIDATE = False
+
+
+def set_validation(value: bool) -> None:
+    global _VALIDATE
+    _VALIDATE = value
+
+
 def _default_interpret() -> bool:
     if _FORCE_INTERPRET is not None:
         return _FORCE_INTERPRET
@@ -179,19 +197,20 @@ def pointwise_conv(
     f32 = jnp.float32
     pts = points.astype(f32)
     # Coordinates at |x| >= _SENTINEL_CUT are indistinguishable from padding
-    # (their neighborhoods silently drop).  This guard is FREE in normal
-    # runs and fails loudly under jax.experimental.checkify — wrap the
-    # calling function with checkify.checkify(..., errors=user_checks) to
-    # validate un-normalized inputs (e.g. georeferenced scans).
-    real = pts if mask is None else jnp.where(
-        mask.astype(bool)[..., None], pts, 0.0
-    )
-    checkify.debug_check(
-        jnp.all(jnp.abs(real) < _SENTINEL_CUT),
-        "pointwise_conv: real (unmasked) coordinates must satisfy |x| < "
-        "5e5 — larger values collide with the sentinel padding and their "
-        "neighborhoods are silently dropped; normalize/recenter the cloud.",
-    )
+    # (their neighborhoods silently drop).  The guard fails loudly under
+    # jax.experimental.checkify when validation is enabled (set_validation —
+    # opt-in for compile-cache determinism, see the switch's comment).
+    if _VALIDATE:
+        real = pts if mask is None else jnp.where(
+            mask.astype(bool)[..., None], pts, 0.0
+        )
+        checkify.debug_check(
+            jnp.all(jnp.abs(real) < _SENTINEL_CUT),
+            "pointwise_conv: real (unmasked) coordinates must satisfy |x| < "
+            "5e5 — larger values collide with the sentinel padding and their "
+            "neighborhoods are silently dropped; normalize/recenter the "
+            "cloud.",
+        )
     if mask is not None:
         pts = jnp.where(mask.astype(bool)[..., None], pts, SENTINEL)
     pts = jnp.pad(pts, ((0, 0), (0, Mp - M), (0, 0)), constant_values=SENTINEL)

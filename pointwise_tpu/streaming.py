@@ -294,6 +294,48 @@ def stream_apply_layered(
         if progress:
             progress(done, len(jobs), b)
 
+    # ONE static padded prefix schedule per bucket group (monotone: per-tile
+    # counts are non-increasing and padding is monotone); per-chunk
+    # schedules would compile per chunk.
+    meta = {}
+    for b in sorted(groups):
+        tbs = max(1, min(tile_batch, (8192 * tile_batch) // b))
+        tbs = -(-tbs // n_data) * n_data       # divisible by the mesh
+        gmax = np.max(np.stack([j[3] for j in groups[b]]), axis=0)
+        meta[b] = (tbs, tuple(pad_len(int(m)) for m in gmax))
+
+    def warm_group(b):
+        """Compile (or persistent-cache-load) one bucket group's programs on
+        a dummy chunk.  Group programs are big (20-60 s compiles, ~10 s
+        cache loads); round 2 paid them serially at each group's first real
+        chunk — warming every group in background threads overlaps them
+        with earlier groups' streaming.  The dummy result is discarded; the
+        wasted device pass per group is a few hundred ms."""
+        try:
+            tbs, lengths = meta[b]
+            cand = put_rows(np.zeros((tbs, lengths[0]), np.int32))
+            ctr = put_rows(np.zeros((tbs, 3), np.float32))
+            pts_d, fts_d = _stage(scene_xyz, scene_fts, cand, ctr,
+                                  put_rows(np.zeros((tbs,), np.int32)))
+            apply_fn(
+                pts_d, fts_d,
+                put_rows(np.zeros((tbs, L + 1), np.int32)),
+                tuple(put_rows(np.zeros((tbs, lengths[l + 1]), np.int32))
+                      for l in range(L)),
+                tuple(put_rows(np.zeros((tbs, lengths[-1]), np.int32))
+                      for l in range(L)),
+                lengths,
+            )
+        except Exception:
+            pass                      # the real call will surface any error
+
+    import os as _os
+    _warm = _os.environ.get("POINTWISE_STREAM_WARM", "1") != "0"
+    warmers = [threading.Thread(target=warm_group, args=(b,), daemon=True)
+               for b in (sorted(groups)[1:] if _warm else [])]
+    for w in warmers:
+        w.start()
+
     def pack_chunks(q):
         """Producer thread: pad + pack every chunk's host arrays off the
         dispatch critical path (round-2 profile: packing ran serially with
@@ -301,13 +343,7 @@ def stream_apply_layered(
         try:
             for b in sorted(groups):
                 js = groups[b]
-                tbs = max(1, min(tile_batch, (8192 * tile_batch) // b))
-                tbs = -(-tbs // n_data) * n_data   # divisible by the mesh
-                # ONE static padded prefix schedule per bucket group
-                # (monotone: per-tile counts are non-increasing and padding
-                # is monotone); per-chunk schedules would compile per chunk.
-                gmax = np.max(np.stack([j[3] for j in js]), axis=0)
-                lengths = tuple(pad_len(int(m)) for m in gmax)
+                tbs, lengths = meta[b]
                 p0, p_last = lengths[0], lengths[-1]
                 for s in range(0, len(js), tbs):
                     chunk = js[s : s + tbs]
@@ -355,4 +391,6 @@ def stream_apply_layered(
     packer.join()
     while pending:
         flush()
+    for w in warmers:                 # avoid interpreter-shutdown races
+        w.join()
     return out

@@ -158,21 +158,29 @@ def test_cell_binning_structure():
 def test_checkify_guards_large_coordinates():
     # SURVEY.md section 5 sanitizer row: out-of-range coordinates (which
     # would silently collide with sentinel padding) fail loudly under
-    # checkify; in-range inputs pass the same guard.
+    # checkify when validation is enabled (opt-in since round 3:
+    # checkify's globally-incrementing error codes make traced programs
+    # history-dependent and defeat the persistent compile cache).
     from jax.experimental import checkify
+
+    from pointwise_tpu.ops.pointwise_conv import set_validation
 
     pts, feats, w, bias = make_problem(jax.random.PRNGKey(30), b=1, n=32)
 
     def f(pts_):
         return pointwise_conv(pts_, feats, w, bias, radius=0.5, impl="pallas")
 
-    checked = checkify.checkify(f, errors=checkify.user_checks)
-    err, _ = checked(pts)
-    err.throw()  # in-range: no error
-    bad = pts.at[0, 3].set(jnp.asarray([7.0e5, 0.0, 0.0]))
-    err, _ = checked(bad)
-    with pytest.raises(Exception, match="sentinel"):
-        err.throw()
+    set_validation(True)
+    try:
+        checked = checkify.checkify(f, errors=checkify.user_checks)
+        err, _ = checked(pts)
+        err.throw()  # in-range: no error
+        bad = pts.at[0, 3].set(jnp.asarray([7.0e5, 0.0, 0.0]))
+        err, _ = checked(bad)
+        with pytest.raises(Exception, match="sentinel"):
+            err.throw()
+    finally:
+        set_validation(False)
 
 
 @pytest.mark.smoke
