@@ -47,6 +47,59 @@ def test_radius_variants():
         )
 
 
+def test_counts_match_reference_binning():
+    # pointwise_conv_counts (the ring strategy's geometry pre-pass) equals
+    # brute-force per-cell neighbor counting.
+    from pointwise_tpu.ops import pointwise_conv_counts
+
+    pts, _, _, _ = make_problem(jax.random.PRNGKey(40), b=2, n=96)
+    r = 0.5
+    cnt = np.asarray(pointwise_conv_counts(pts, radius=r))
+    p = np.asarray(pts)
+    rel = p[:, None, :, :] - p[:, :, None, :]
+    d2 = (rel ** 2).sum(-1)
+    valid = d2 <= r * r
+    c = np.clip(np.floor((rel + r) * (3.0 / (2 * r))), 0, 2)
+    cell = (c[..., 0] * 9 + c[..., 1] * 3 + c[..., 2]).astype(int)
+    ref = (np.eye(27)[cell] * valid[..., None]).sum(axis=2)
+    np.testing.assert_array_equal(cnt, ref)
+
+
+def test_ext_counts_partial_sums_exact():
+    # With EXTERNAL global counts the conv is linear over candidate
+    # subsets: partial outputs over a disjoint split sum to the full conv,
+    # and gradients match the reference (the memory-bounded ring contract).
+    from pointwise_tpu.ops import pointwise_conv_counts
+
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(41), b=2, n=96)
+    r = 0.5
+    cnt = pointwise_conv_counts(pts, radius=r)
+    half = pts.shape[1] // 2
+    y1 = pointwise_conv(pts[:, :half], feats[:, :half], w, None, radius=r,
+                        centers=pts, ext_counts=cnt)
+    y2 = pointwise_conv(pts[:, half:], feats[:, half:], w, None, radius=r,
+                        centers=pts, ext_counts=cnt)
+    y_ref = pointwise_conv_reference(pts, feats, w, bias, radius=r)
+    got = np.asarray(y1) + np.asarray(y2) + np.asarray(bias)
+    np.testing.assert_allclose(got, np.asarray(y_ref), rtol=3e-5, atol=3e-5)
+
+    def loss(f, w_):
+        ya = pointwise_conv(pts[:, :half], f[:, :half], w_, None, radius=r,
+                            centers=pts, ext_counts=cnt)
+        yb = pointwise_conv(pts[:, half:], f[:, half:], w_, None, radius=r,
+                            centers=pts, ext_counts=cnt)
+        return jnp.sum((ya + yb) ** 2)
+
+    def loss_ref(f, w_):
+        return jnp.sum(pointwise_conv_reference(pts, f, w_, None, radius=r) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(feats, w)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)
+
+
 def test_tiny_radius_only_self():
     # With a radius smaller than any inter-point gap, each point sees only
     # itself (middle cell 13): y = W_13 @ x + b.
