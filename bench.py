@@ -428,6 +428,20 @@ def main():
     diag.update({k: (round(v, 4) if isinstance(v, float) else v)
                  for k, v in conv.items()})
 
+    # the models' real upper-layer width: cin=cout=124 puts 125 of 128
+    # lanes to work (vs 65/128 at the 64-channel config above), so this is
+    # where useful-FLOP MFU approaches executed utilization.
+    try:
+        conv124 = bench_conv_op(cin=124, cout=124,
+                                dispatch_s=conv.get("dispatch_ms", 1.0) / 1e3,
+                                peak_bf16=conv.get("device_peak_bf16_tf", 0)
+                                * 1e12 or None)
+        diag.update({f"c124_{k}": (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in conv124.items()
+                     if k.startswith(("mxu_", "t_fwd", "fwd_", "flops_"))})
+    except Exception as e:
+        diag["c124_error"] = repr(e)[:120]
+
     try:
         seg_pps, seg_dt = bench_seg_step()
         diag["seg_step_ms"] = round(seg_dt * 1e3, 3)

@@ -306,11 +306,11 @@ def stream_apply_layered(
 
     def warm_group(b):
         """Compile (or persistent-cache-load) one bucket group's programs on
-        a dummy chunk.  Group programs are big (20-60 s compiles, ~10 s
-        cache loads); round 2 paid them serially at each group's first real
-        chunk — warming every group in background threads overlaps them
-        with earlier groups' streaming.  The dummy result is discarded; the
-        wasted device pass per group is a few hundred ms."""
+        a dummy chunk.  Group programs are big (20-60 s compiles); round 2
+        paid them serially at each group's first real chunk — warming in a
+        background thread overlaps each group's compile with earlier
+        groups' streaming.  The dummy result is discarded; the wasted
+        device pass per group is a few hundred ms."""
         try:
             tbs, lengths = meta[b]
             cand = put_rows(np.zeros((tbs, lengths[0]), np.int32))
@@ -329,12 +329,28 @@ def stream_apply_layered(
         except Exception:
             pass                      # the real call will surface any error
 
+    # ONE warm thread, groups in sorted order, and the main loop GATES each
+    # group's first dispatch on its event: trace order is then strictly
+    # deterministic.  Concurrent tracing (round 3's first attempt: one
+    # thread per group) produced nondeterministic program content — fresh
+    # persistent-cache keys on otherwise identical runs — and parallel
+    # compiles cannot help on this 1-core host anyway.
     import os as _os
     _warm = _os.environ.get("POINTWISE_STREAM_WARM", "1") != "0"
-    warmers = [threading.Thread(target=warm_group, args=(b,), daemon=True)
-               for b in (sorted(groups)[1:] if _warm else [])]
-    for w in warmers:
-        w.start()
+    warm_done = {b: threading.Event() for b in sorted(groups)}
+
+    def warm_all():
+        for b in sorted(groups):
+            warm_group(b)
+            warm_done[b].set()
+
+    if _warm:
+        warm_thread = threading.Thread(target=warm_all, daemon=True)
+        warm_thread.start()
+    else:
+        warm_thread = None
+        for ev in warm_done.values():
+            ev.set()
 
     def pack_chunks(q):
         """Producer thread: pad + pack every chunk's host arrays off the
@@ -376,6 +392,7 @@ def stream_apply_layered(
         if item is None:
             break
         b, lengths, cand_h, ctr_h, cnt, sels, skips, interiors = item
+        warm_done[b].wait()   # group's programs traced by the warm thread
         # async: stage (device gather) + dispatch while the previous chunk
         # computes; only index/schedule arrays cross the host link
         pts_d, fts_d = _stage(scene_xyz, scene_fts,
@@ -391,6 +408,6 @@ def stream_apply_layered(
     packer.join()
     while pending:
         flush()
-    for w in warmers:                 # avoid interpreter-shutdown races
-        w.join()
+    if warm_thread is not None:       # avoid interpreter-shutdown races
+        warm_thread.join()
     return out
