@@ -833,8 +833,12 @@ def _fwd_call_csr(spec: PwConvSpec, jmap, deg, pts_r, pts_c, feats, w, bias,
 
 
 # Mosaic pads and double-buffers the scalar-prefetch windows in SMEM (1MB);
-# keep each CSR call's jmap/deg tables comfortably below that.
-_CSR_SMEM_BUDGET = 60_000
+# keep each CSR call's jmap/deg tables below half of it.  240 KB tables
+# (verified compiling+running on-chip at the 262144-center streaming shape,
+# round 3) cut the 1M-pt streaming programs from 9 to 3 CSR chunks per
+# layer — ~3x smaller executables, measurably faster compiles/cache loads
+# on the 1-core host.  tests force tiny budgets to pin the chunking path.
+_CSR_SMEM_BUDGET = 240_000
 
 
 def _fwd_call(spec: PwConvSpec, pts_r, pts_c, feats, w, bias, cnt_in=None):
