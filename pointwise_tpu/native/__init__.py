@@ -116,22 +116,6 @@ class GridIndex:
         m = np.all((p >= lo) & (p < hi), axis=1)
         return np.where(m)[0].astype(np.int32)
 
-    def count_box(self, lo, hi) -> int:
-        """Number of points with lo <= p < hi (no index gather — gh_query
-        with cap=0 only counts; feeds the streaming engine's bucket sizing
-        without building any schedule)."""
-        lo = np.asarray(lo, np.float32)
-        hi = np.asarray(hi, np.float32)
-        lib = _load()
-        if lib:
-            out = np.empty(1, np.int32)
-            return int(lib.gh_query(self.points, len(self.points),
-                                    self.origin, self.h, self.dims,
-                                    self.cell_starts, self.order, lo, hi,
-                                    out, 0))
-        p = self.points
-        return int(np.all((p >= lo) & (p < hi), axis=1).sum())
-
     def nonempty_cells(self) -> np.ndarray:
         """(k, 3) integer coords of cells containing points."""
         starts = self.cell_starts

@@ -68,6 +68,13 @@ _VALIDATE = False
 
 
 def set_validation(value: bool) -> None:
+    """Enable/disable the sentinel-collision input guard.
+
+    TRACE-time switch: it takes effect only for functions traced AFTER the
+    call — programs already jit-compiled in this process keep their cached
+    (guard-free) executables.  Enable it before building the checkify'd
+    function you want validated.
+    """
     global _VALIDATE
     _VALIDATE = value
 
@@ -126,7 +133,8 @@ def pointwise_conv(
         then computes a PARTIAL convolution that is linear in the candidate
         set — summing results over disjoint candidate subsets equals the
         full convolution (the memory-bounded ring strategy,
-        parallel/spatial.py).  Pallas impl only.
+        parallel/spatial.py).  Supported by both the pallas and reference
+        impls, so the ring strategy debugs against the executable spec.
 
     Returns:
       (Nc, Cout) or (B, Nc, Cout).
@@ -149,11 +157,9 @@ def pointwise_conv(
     if impl == "auto":
         impl = "pallas"
     if impl == "reference":
-        if ext_counts is not None:
-            raise ValueError("ext_counts requires the pallas impl")
         return _ref.pointwise_conv_reference(
             points, features, weights, bias, radius=radius, mask=mask,
-            centers=centers, center_mask=center_mask,
+            centers=centers, center_mask=center_mask, ext_counts=ext_counts,
         )
     if impl != "pallas":
         raise ValueError(f"unknown impl: {impl!r}")

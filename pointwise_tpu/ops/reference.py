@@ -45,8 +45,14 @@ def cell_index(rel: jnp.ndarray, radius: float) -> jnp.ndarray:
     return c[..., 0] * 9 + c[..., 1] * 3 + c[..., 2]
 
 
-def _conv_one(centers, points, features, weights, bias, radius, mask, center_mask):
-    """Single-cloud pointwise conv. centers (Nc,3), points (M,3), features (M,Cin)."""
+def _conv_one(centers, points, features, weights, bias, radius, mask,
+              center_mask, ext_counts=None):
+    """Single-cloud pointwise conv. centers (Nc,3), points (M,3), features (M,Cin).
+
+    ext_counts: optional (Nc, 27) EXTERNAL divisor counts — the partial-conv
+    contract (see ops.pointwise_conv ``ext_counts``): with global counts
+    fixed, outputs over disjoint candidate subsets sum to the full conv.
+    """
     rel = points[None, :, :] - centers[:, None, :]          # (Nc, M, 3) = p_j - p_i
     d2 = jnp.sum(rel * rel, axis=-1)                        # (Nc, M)
     valid = d2 <= jnp.asarray(radius, d2.dtype) ** 2
@@ -56,7 +62,7 @@ def _conv_one(centers, points, features, weights, bias, radius, mask, center_mas
     onehot = jax.nn.one_hot(cell, N_CELLS, dtype=features.dtype)
     onehot = onehot * valid.astype(features.dtype)[..., None]   # (Nc, M, 27)
     sums = jnp.einsum("imk,mc->ikc", onehot, features)      # (Nc, 27, Cin)
-    cnt = jnp.sum(onehot, axis=1)                           # (Nc, 27)
+    cnt = jnp.sum(onehot, axis=1) if ext_counts is None else ext_counts
     xbar = sums / jnp.maximum(cnt, 1.0)[..., None]
     y = jnp.einsum("ikc,kcd->id", xbar, weights)            # (Nc, Cout)
     if bias is not None:
@@ -76,6 +82,7 @@ def pointwise_conv_reference(
     mask: jnp.ndarray | None = None,
     centers: jnp.ndarray | None = None,
     center_mask: jnp.ndarray | None = None,
+    ext_counts: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Dense reference pointwise convolution.
 
@@ -100,14 +107,18 @@ def pointwise_conv_reference(
         mask = None if mask is None else mask[None]
         centers = None if centers is None else centers[None]
         center_mask = None if center_mask is None else center_mask[None]
+        ext_counts = None if ext_counts is None else ext_counts[None]
     if centers is None:
         centers = points
         if center_mask is None:
             center_mask = mask
 
-    def one(c, p, f, m, cm):
-        return _conv_one(c, p, f, weights, bias, radius, m, cm)
+    def one(c, p, f, m, cm, ec):
+        return _conv_one(c, p, f, weights, bias, radius, m, cm, ec)
 
-    in_axes = (0, 0, 0, None if mask is None else 0, None if center_mask is None else 0)
-    y = jax.vmap(one, in_axes=in_axes)(centers, points, features, mask, center_mask)
+    in_axes = (0, 0, 0, None if mask is None else 0,
+               None if center_mask is None else 0,
+               None if ext_counts is None else 0)
+    y = jax.vmap(one, in_axes=in_axes)(centers, points, features, mask,
+                                       center_mask, ext_counts)
     return y if batched else y[0]

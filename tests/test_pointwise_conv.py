@@ -83,6 +83,16 @@ def test_ext_counts_partial_sums_exact():
     got = np.asarray(y1) + np.asarray(y2) + np.asarray(bias)
     np.testing.assert_allclose(got, np.asarray(y_ref), rtol=3e-5, atol=3e-5)
 
+    # the executable spec supports the same partial-conv contract, so the
+    # ring strategy can be debugged end-to-end against impl='reference'
+    r1 = pointwise_conv(pts[:, :half], feats[:, :half], w, None, radius=r,
+                        centers=pts, ext_counts=cnt, impl="reference")
+    r2 = pointwise_conv(pts[:, half:], feats[:, half:], w, None, radius=r,
+                        centers=pts, ext_counts=cnt, impl="reference")
+    got_ref = np.asarray(r1) + np.asarray(r2) + np.asarray(bias)
+    np.testing.assert_allclose(got_ref, np.asarray(y_ref), rtol=3e-5,
+                               atol=3e-5)
+
     def loss(f, w_):
         ya = pointwise_conv(pts[:, :half], f[:, :half], w_, None, radius=r,
                             centers=pts, ext_counts=cnt)
