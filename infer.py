@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--layered", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="layer-wise shrinking halos (exact; faster)")
+    ap.add_argument("--save-ply", default=None,
+                    help="write class-colored predictions as binary PLY "
+                         "(any standard viewer opens it)")
     ap.add_argument("--dp", action="store_true",
                     help="shard tile batches over all local devices")
     args = ap.parse_args()
@@ -143,6 +146,12 @@ def main():
         )
     dt = time.time() - t0
     pred = logits.argmax(axis=1).astype(np.int32)
+    if args.save_ply:
+        from pointwise_tpu.utils.ply import write_ply
+
+        write_ply(args.save_ply, xyz, labels=pred)
+        print(f"# wrote {args.save_ply} ({len(xyz)} pts, class-colored)",
+              flush=True)
     rec = {
         "metric": "streaming_points_per_sec",
         "value": round(len(xyz) / dt),

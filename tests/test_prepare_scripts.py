@@ -102,3 +102,24 @@ def test_scenenn_conversion_roundtrip(tmp_path):
         scenes = scenenn.load_scenes(str(out))
         sx, sr, sl = scenes[0]
         assert len(sx) == n and set(sl) == labels
+
+
+def test_ply_export_roundtrips_through_reader(tmp_path):
+    """utils.ply.write_ply (prediction visualization) produces binary-LE PLY
+    that the in-repo SceneNN reader parses back exactly: coordinates, the
+    palette colors, and the raw label property."""
+    from pointwise_tpu.utils.ply import label_colors, write_ply
+
+    rng = np.random.RandomState(0)
+    xyz = rng.uniform(-5, 5, (257, 3)).astype(np.float32)
+    labels = rng.randint(-1, 13, 257).astype(np.int32)
+    path = os.fspath(tmp_path / "pred.ply")
+    write_ply(path, xyz, labels=labels)
+
+    v = read_ply_vertices(path)
+    got_xyz = np.stack([v["x"], v["y"], v["z"]], axis=1)
+    np.testing.assert_array_equal(got_xyz, xyz)
+    np.testing.assert_array_equal(v["label"], labels)
+    expect_rgb = label_colors(labels)
+    got_rgb = np.stack([v["red"], v["green"], v["blue"]], axis=1)
+    np.testing.assert_array_equal(got_rgb, expect_rgb)
