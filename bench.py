@@ -121,47 +121,12 @@ def calibrate_dispatch(iters=50):
 
 
 def profile_device_time(fn, logdir="/tmp/pw_bench_prof", iters=4):
-    """Per-call DEVICE-side duration of ``fn``'s jitted program, from a
-    jax.profiler trace (VERDICT r2 task 6).
+    """DEVICE-plane per-call timing (VERDICT r2 task 6) — the library
+    implementation lives in pointwise_tpu.utils.runtime; bench keeps this
+    thin alias so sweep scripts and diagnostics share one code path."""
+    from pointwise_tpu.utils.runtime import profile_device_time as _pdt
 
-    The axon tunnel adds 0.7-2.5+ ms of dispatch per call, serial with
-    compute; wall-clock minus a calibrated correction was the round-2
-    methodology and under-corrects when the tunnel stalls.  The trace's
-    /device:TPU plane reports what the chip itself executed — immune to the
-    tunnel.  Returns seconds/call for the largest aggregated device event
-    (the jit program entry: kernel + in-program slices, slightly
-    conservative for the kernel alone), or None if no trace was produced.
-    """
-    import glob
-    import shutil
-
-    import jax
-
-    shutil.rmtree(logdir, ignore_errors=True)
-    r = fn()
-    _sync(r)                       # compiled before tracing
-    jax.profiler.start_trace(logdir)
-    try:
-        for _ in range(iters):
-            r = fn()
-        _sync(r)
-    finally:
-        jax.profiler.stop_trace()
-    files = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
-    if not files:
-        return None
-    pd = jax.profiler.ProfileData.from_file(files[-1])
-    best = 0.0
-    for plane in pd.planes:
-        if not plane.name.startswith("/device:"):
-            continue
-        tot = {}
-        for line in plane.lines:
-            for ev in line.events:
-                tot[ev.name] = tot.get(ev.name, 0) + ev.duration_ns
-        if tot:
-            best = max(best, max(tot.values()))
-    return best / 1e9 / iters if best else None
+    return _pdt(fn, logdir=logdir, iters=iters)
 
 
 def calibrate_peak_bf16(m=4096, reps=16, iters=3):

@@ -50,3 +50,46 @@ def profile(logdir: str = "/tmp/pointwise_tpu_profile"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_profile",
+                        iters: int = 4) -> float | None:
+    """Per-call DEVICE-side duration of ``fn``'s jitted program, from a
+    jax.profiler trace.
+
+    The only dispatch-immune timing under the axon tunnel (wall-clock minus
+    a calibrated correction under-reports by ~1.5x — GOLDEN.md round 3):
+    reads the /device: plane of the trace and returns seconds/call for the
+    largest aggregated device event (the jit program entry — kernel plus
+    in-program slices, slightly conservative for the kernel alone), or
+    None if no trace was produced.  ``fn`` must be warmed/compiled by one
+    prior call; this helper calls it once before tracing.
+    """
+    import glob
+    import shutil
+
+    shutil.rmtree(logdir, ignore_errors=True)
+    sync(fn())                      # compiled before tracing
+    jax.profiler.start_trace(logdir)
+    try:
+        r = None
+        for _ in range(iters):
+            r = fn()
+        sync(r)
+    finally:
+        jax.profiler.stop_trace()
+    files = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
+    if not files:
+        return None
+    pd = jax.profiler.ProfileData.from_file(files[-1])
+    best = 0.0
+    for plane in pd.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        tot = {}
+        for line in plane.lines:
+            for ev in line.events:
+                tot[ev.name] = tot.get(ev.name, 0) + ev.duration_ns
+        if tot:
+            best = max(best, max(tot.values()))
+    return best / 1e9 / iters if best else None
