@@ -145,20 +145,29 @@ def test_spatial_conv_grads_match():
         y = pointwise_conv_reference(pts, feats_, w_, bias, radius=0.5)
         return jnp.sum(y ** 2)
 
-    def sharded_loss(feats_, w_):
-        def body(p, f, w__, b_):
-            y = spatial_pointwise_conv(p, f, w__, b_, radius=0.5, axis="space")
-            return jax.lax.psum(jnp.sum(y ** 2), "space")
+    def sharded_loss(strategy):
+        def loss(feats_, w_):
+            def body(p, f, w__, b_):
+                y = spatial_pointwise_conv(p, f, w__, b_, radius=0.5,
+                                           axis="space", strategy=strategy)
+                return jax.lax.psum(jnp.sum(y ** 2), "space")
 
-        return jax.shard_map(
-            body, mesh=mesh, check_vma=False,
-            in_specs=(P(None, "space"), P(None, "space"), P(), P()),
-            out_specs=P(),
-        )(pts, feats_, w_, bias)
+            return jax.shard_map(
+                body, mesh=mesh, check_vma=False,
+                in_specs=(P(None, "space"), P(None, "space"), P(), P()),
+                out_specs=P(),
+            )(pts, feats_, w_, bias)
+
+        return loss
 
     g_ref = jax.grad(ref_loss, argnums=(0, 1))(feats, w)
-    g_sh = jax.jit(jax.grad(sharded_loss, argnums=(0, 1)))(feats, w)
+    g_sh = jax.jit(jax.grad(sharded_loss("gather"), argnums=(0, 1)))(feats, w)
     for a, b in zip(g_ref, g_sh):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-5, atol=3e-5)
+    # ring: gradients flow through the ext-counts VJP and the reverse
+    # ppermute ring (counts are stop_gradient'ed geometry)
+    g_ring = jax.jit(jax.grad(sharded_loss("ring"), argnums=(0, 1)))(feats, w)
+    for a, b in zip(g_ref, g_ring):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-5, atol=3e-5)
 
 
