@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--save-ply", default=None,
                     help="write class-colored predictions as binary PLY "
                          "(any standard viewer opens it)")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="stream the scene N times and report each pass; "
+                         "passes beyond the first amortize compiles and "
+                         "program loads — the keep-alive SERVING number")
     ap.add_argument("--dp", action="store_true",
                     help="shard tile batches over all local devices")
     args = ap.parse_args()
@@ -125,12 +129,18 @@ def main():
             mesh = make_mesh()
             print(f"# tile batches sharded over {mesh.shape['data']} devices",
                   flush=True)
-        logits = stream_apply_layered(
-            apply_layered, xyz, feats,
-            radii=cfg.radii, tile_size=args.tile_size,
-            out_dim=cfg.num_classes, tile_batch=args.tile_batch,
-            progress=prog, mesh=mesh,
-        )
+        for rep in range(max(1, args.repeat)):
+            t0 = time.time()
+            logits = stream_apply_layered(
+                apply_layered, xyz, feats,
+                radii=cfg.radii, tile_size=args.tile_size,
+                out_dim=cfg.num_classes, tile_batch=args.tile_batch,
+                progress=prog if rep == 0 else None, mesh=mesh,
+            )
+            dt_rep = time.time() - t0
+            if args.repeat > 1:
+                print(f"# pass {rep}: {dt_rep:.2f}s -> "
+                      f"{len(xyz)/dt_rep:.0f} pts/s", flush=True)
     else:
         @jax.jit
         def apply_p(p, pts, fts, mask):
@@ -144,7 +154,7 @@ def main():
             halo=halo, tile_size=args.tile_size, out_dim=cfg.num_classes,
             tile_batch=args.tile_batch, progress=prog,
         )
-    dt = time.time() - t0
+    dt = time.time() - t0   # with --repeat > 1: the LAST pass (serving rate)
     pred = logits.argmax(axis=1).astype(np.int32)
     if args.save_ply:
         from pointwise_tpu.utils.ply import write_ply
@@ -161,6 +171,8 @@ def main():
         "halo": halo,
         "layered": bool(args.layered),
     }
+    if args.repeat > 1:
+        rec["passes"] = args.repeat   # value/seconds describe the last pass
     if lab is not None and not args.data_dir:
         m = s3dis.iou_metrics(pred, lab, cfg.num_classes)
         rec["accuracy"] = round(m["accuracy"], 4)
