@@ -26,17 +26,12 @@ import numpy as np
 
 
 def _sync(r):
-    """Force full completion of everything `r` depends on.
+    """Force full completion of everything `r` depends on (delegates to
+    utils.runtime.sync — the scalar-fetch barrier for the axon tunnel's
+    early-returning block_until_ready)."""
+    from pointwise_tpu.utils.runtime import sync
 
-    NOTE: under the experimental axon TPU tunnel, ``block_until_ready`` can
-    return before the computation finishes; a device->host transfer is the
-    only reliable barrier, so we fetch a scalar reduction of one leaf.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    leaf = jax.tree.leaves(r)[0]
-    return float(jnp.sum(leaf.astype(jnp.float32)))
+    return sync(r)
 
 
 def _time(fn, iters=10, warmup=2, reps=3):

@@ -149,11 +149,18 @@ def main():
         def apply_fn(pts, fts, mask):
             return apply_p(params, pts, fts, mask)
 
-        logits = stream_apply(
-            apply_fn, xyz, feats,
-            halo=halo, tile_size=args.tile_size, out_dim=cfg.num_classes,
-            tile_batch=args.tile_batch, progress=prog,
-        )
+        for rep in range(max(1, args.repeat)):
+            t0 = time.time()
+            logits = stream_apply(
+                apply_fn, xyz, feats,
+                halo=halo, tile_size=args.tile_size, out_dim=cfg.num_classes,
+                tile_batch=args.tile_batch,
+                progress=prog if rep == 0 else None,
+            )
+            dt_rep = time.time() - t0
+            if args.repeat > 1:
+                print(f"# pass {rep}: {dt_rep:.2f}s -> "
+                      f"{len(xyz)/dt_rep:.0f} pts/s", flush=True)
     dt = time.time() - t0   # with --repeat > 1: the LAST pass (serving rate)
     pred = logits.argmax(axis=1).astype(np.int32)
     if args.save_ply:

@@ -45,8 +45,11 @@ def write_ply(path: str, xyz: np.ndarray, *, colors: np.ndarray | None = None,
         colors = label_colors(labels)
     if colors is not None:
         colors = np.asarray(colors)
-        if colors.dtype != np.uint8:
-            colors = (np.clip(colors, 0.0, 1.0) * 255).astype(np.uint8)
+        if np.issubdtype(colors.dtype, np.integer):
+            colors = np.clip(colors, 0, 255).astype(np.uint8)   # 0-255 ints
+        elif colors.dtype != np.uint8:
+            # floats in [0, 1]; round (not truncate) so values round-trip
+            colors = np.rint(np.clip(colors, 0.0, 1.0) * 255).astype(np.uint8)
         fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
         props += ["property uchar red", "property uchar green",
                   "property uchar blue"]

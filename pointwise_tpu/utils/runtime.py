@@ -52,7 +52,7 @@ def profile(logdir: str = "/tmp/pointwise_tpu_profile"):
         jax.profiler.stop_trace()
 
 
-def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_profile",
+def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_devtime",
                         iters: int = 4) -> float | None:
     """Per-call DEVICE-side duration of ``fn``'s jitted program, from a
     jax.profiler trace.
@@ -64,10 +64,15 @@ def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_profile",
     in-program slices, slightly conservative for the kernel alone), or
     None if no trace was produced.  ``fn`` must be warmed/compiled by one
     prior call; this helper calls it once before tracing.
+
+    NOTE: ``logdir`` is DELETED and rewritten on every call (own default,
+    separate from ``profile()``'s, so it never clobbers a trace collected
+    for xprof inspection); give concurrent processes distinct logdirs.
     """
     import glob
     import shutil
 
+    iters = max(1, int(iters))
     shutil.rmtree(logdir, ignore_errors=True)
     sync(fn())                      # compiled before tracing
     jax.profiler.start_trace(logdir)
