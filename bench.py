@@ -191,6 +191,59 @@ def bench_seg_step(B=8, N=4096, steps=8):
     return B * N / dt, dt
 
 
+def bench_streaming(n_points=200_000, passes=2):
+    """Small-scene exact-streaming measurement (VERDICT r3 task 9): the
+    steady-state rate of the layered overlap-save engine, in-process, so
+    streaming regressions surface in BENCH_r*.json without a 1M-pt run.
+
+    Pass 0 warms compiles/program loads; the LAST pass is the steady-state
+    (serving) number — the same quantity infer.py --repeat reports.
+    """
+    import functools
+
+    import jax
+
+    from pointwise_tpu.models import PointwiseSegmenter
+    from pointwise_tpu.streaming import stream_apply_layered
+    from pointwise_tpu.train import get_config
+
+    import infer as infer_cli
+
+    cfg = get_config("s3dis_synthetic")
+    xyz, rgb, _ = infer_cli.big_scene(n_points, num_classes=cfg.num_classes)
+    mins = xyz.min(0)
+    span = np.maximum(xyz.max(0) - mins, 1e-6)
+    feats = np.concatenate([rgb, (xyz - mins) / span], axis=1)
+    model = PointwiseSegmenter(
+        num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
+        head_dims=cfg.head_dims, dropout_rate=cfg.dropout, norm=cfg.norm,
+        impl=cfg.impl, use_global_context=False,
+    )
+    from pointwise_tpu.data import s3dis
+
+    tmpl = s3dis.batch_template(cfg)
+    params = jax.jit(
+        lambda r: model.init(r, tmpl["points"], tmpl["features"],
+                             tmpl["mask"], train=False)
+    )(jax.random.PRNGKey(0))["params"]
+
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def apply_p(p, pts, fts, cnt, sels, skips, lengths):
+        return model.apply({"params": p}, pts, fts, cnt, sels, skips,
+                           lengths=lengths, method="streaming_logits")
+
+    def apply_fn(pts, fts, cnt, sels, skips, lengths):
+        return apply_p(params, pts, fts, cnt, sels, skips, lengths)
+
+    dt = float("nan")
+    for _ in range(max(2, passes)):
+        t0 = time.perf_counter()
+        stream_apply_layered(apply_fn, xyz, feats, radii=cfg.radii,
+                             tile_size=4.0, out_dim=cfg.num_classes)
+        dt = time.perf_counter() - t0
+    return len(xyz) / dt, dt
+
+
 def bench_conv_op(B=64, N=1024, cin=64, cout=64, radius=0.5,
                   precision="bfloat16", dispatch_s=None, peak_bf16=None):
     """Fused conv op fwd+bwd throughput + MEASURED MXU utilization.
@@ -257,37 +310,54 @@ def bench_conv_op(B=64, N=1024, cin=64, cout=64, radius=0.5,
     flops_fwd_u = flops_bin_u + flops_w_u
     # v5e paper peaks: 197 TFLOP/s bf16; f32 (bf16x3 default passes) ~98 TF.
     nominal = 197e12 if precision == "bfloat16" else 98.4e12
-    out = {
-        "fwd_pts_per_s": B * N / t_fwd,
-        "fwdbwd_pts_per_s": B * N / (t_bwd),
-        "t_fwd_ms": t_fwd * 1e3,
-        "t_fwdbwd_ms": t_bwd * 1e3,
-        "dispatch_ms": dispatch_s * 1e3,
-        "mxu_util_fwd_nominal": flops_fwd / t_fwd / nominal,
-        "mxu_util_fwd_useful": flops_fwd_u / t_fwd / nominal,
-        "precision": precision,
-    }
-    if precision == "bfloat16":
-        if peak_bf16 is None:
-            peak_bf16 = calibrate_peak_bf16()
-        out["device_peak_bf16_tf"] = peak_bf16 / 1e12
-        out["mxu_util_fwd_measured"] = flops_fwd / t_fwd / peak_bf16
-        out["mxu_util_fwd_useful_measured"] = flops_fwd_u / t_fwd / peak_bf16
-    # Profiler cross-check (VERDICT r2 task 6): the analytic FLOP model's
-    # time denominator, re-measured on the DEVICE plane of a jax.profiler
-    # trace.  XLA cost analysis cannot see inside a pallas custom call, so
-    # the FLOP count stays analytic (exact by construction: the resident
-    # kernel walks every tile pair at this config); the trace validates the
-    # time axis — and, through it, the dispatch-correction methodology.
+    # DEVICE-plane timing first (VERDICT r3 task 2): the gate-named fields
+    # carry the dispatch-immune device-plane reading; corrected wall-clock
+    # stays as *_wall diagnostics (the tunnel inflates wall times 1.5-1.7x
+    # — BENCH_r03 flops_model_vs_profiler).  The backward is traced too so
+    # its utilization is reproduced by the artifact every run.  The FLOP
+    # counts stay analytic (XLA cost analysis cannot see inside a pallas
+    # custom call; the resident kernel walks every tile pair at this
+    # config, so they are exact by construction); fwd+bwd executes three
+    # structurally identical kernel passes (fwd, dW, dX) => 3x fwd FLOPs.
     try:
         t_fwd_dev = profile_device_time(lambda: fwd(feats, w))
     except Exception:
         t_fwd_dev = None
+    try:
+        t_bwd_dev = profile_device_time(lambda: g(feats, w))
+    except Exception:
+        t_bwd_dev = None
+    t_fwd_best = t_fwd_dev or t_fwd
+    t_bwd_best = t_bwd_dev or t_bwd
+    out = {
+        "fwd_pts_per_s": B * N / t_fwd_best,
+        "fwdbwd_pts_per_s": B * N / t_bwd_best,
+        "t_fwd_ms": t_fwd_best * 1e3,
+        "t_fwdbwd_ms": t_bwd_best * 1e3,
+        "t_fwd_wall_ms": t_fwd * 1e3,
+        "t_fwdbwd_wall_ms": t_bwd * 1e3,
+        "dispatch_ms": dispatch_s * 1e3,
+        "timing_source": "device" if t_fwd_dev else "wall",
+        "mxu_util_fwd_nominal": flops_fwd / t_fwd_best / nominal,
+        "mxu_util_fwd_useful": flops_fwd_u / t_fwd_best / nominal,
+        "mxu_util_fwdbwd_nominal": 3 * flops_fwd / t_bwd_best / nominal,
+        "mxu_util_fwdbwd_useful": 3 * flops_fwd_u / t_bwd_best / nominal,
+        "mxu_util_fwd_nominal_wall": flops_fwd / t_fwd / nominal,
+        "mxu_util_fwd_useful_wall": flops_fwd_u / t_fwd / nominal,
+        "precision": precision,
+    }
     if t_fwd_dev:
         out["t_fwd_device_ms"] = t_fwd_dev * 1e3
         out["flops_model_vs_profiler"] = t_fwd / t_fwd_dev
-        out["mxu_util_fwd_nominal_device"] = flops_fwd / t_fwd_dev / nominal
-        out["mxu_util_fwd_useful_device"] = flops_fwd_u / t_fwd_dev / nominal
+    if t_bwd_dev:
+        out["t_fwdbwd_device_ms"] = t_bwd_dev * 1e3
+    if precision == "bfloat16":
+        if peak_bf16 is None:
+            peak_bf16 = calibrate_peak_bf16()
+        out["device_peak_bf16_tf"] = peak_bf16 / 1e12
+        out["mxu_util_fwd_measured"] = flops_fwd / t_fwd_best / peak_bf16
+        out["mxu_util_fwd_useful_measured"] = (
+            flops_fwd_u / t_fwd_best / peak_bf16)
     return out
 
 
@@ -414,6 +484,13 @@ def main():
         diag["bwd_shape_canaries"] = "ok"
     except Exception as e:
         diag["bwd_shape_canaries"] = repr(e)[:200]
+
+    try:
+        stream_pps, stream_dt = bench_streaming()
+        diag["stream_pts_per_s"] = round(stream_pps)
+        diag["stream_steady_s"] = round(stream_dt, 2)
+    except Exception as e:
+        diag["stream_bench_error"] = repr(e)[:200]
 
     try:
         tf_pps = bench_tf_cpu_op()

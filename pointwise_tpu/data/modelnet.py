@@ -48,7 +48,7 @@ def _load_h5_dir(path: str, split: str) -> ClassificationData | None:
         with h5py.File(f, "r") as h:
             pts.append(np.asarray(h["data"], np.float32))
             labs.append(np.asarray(h["label"], np.int64).reshape(-1))
-    points = np.concatenate(pts)
+    points = spatial.check_coordinates(np.concatenate(pts), name=path)
     labels = np.concatenate(labs).astype(np.int32)
     return ClassificationData(points, labels, int(labels.max()) + 1)
 

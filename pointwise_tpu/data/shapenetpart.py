@@ -49,8 +49,10 @@ def _load_h5_dir(path: str, split: str) -> PartSegData | None:
             pts.append(np.asarray(h["data"], np.float32))
             cats.append(np.asarray(h["label"], np.int64).reshape(-1))
             pids.append(np.asarray(h["pid"], np.int64))
+    from pointwise_tpu.utils.spatial import check_coordinates
+
     return PartSegData(
-        np.concatenate(pts),
+        check_coordinates(np.concatenate(pts), name=path),
         np.concatenate(cats).astype(np.int32),
         np.concatenate(pids).astype(np.int32),
     )

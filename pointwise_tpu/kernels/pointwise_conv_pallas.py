@@ -986,8 +986,12 @@ def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
     # center tiles the scheduler's value liveness blows the 16 MB scoped
     # VMEM limit (measured: 18.6 MB at 4 tiles / N=2048 C=124, 45 MB at 8
     # tiles / N=4096) and the grid kernel with its Z scratch is competitive
-    # anyway (9.7 vs 10.2 ms at the seg shape).
-    if spec.resident and spec.n_centers // spec.tile_m <= 2:
+    # anyway (9.7 vs 10.2 ms at the seg shape).  mm_dtype=float32 doubles
+    # the zcat/mask-plane liveness and blows the limit even at 2 tiles
+    # (measured round 4: 17.88 MB at N=1024 C<=127 f32) — f32 always takes
+    # the grid kernel.
+    if (spec.resident and spec.mm_dtype == "bfloat16"
+            and spec.n_centers // spec.tile_m <= 2):
         return _dx_call_resident(spec, pts_r, pts_c, g, counts, w)
     # Roles swapped vs fwd: the reduction dim is centers, so center tiles are
     # big (amortize the Z-scratch RMW) and candidate-out tiles small.

@@ -334,7 +334,7 @@ class Trainer:
         self.state, metrics = self._train_step(self.state, batch, rng)
         return metrics
 
-    def evaluate(self, batches, rng):
+    def evaluate(self, batches, rng, weight_fn=None):
         """WEIGHTED mean metrics over an iterable of batches.
 
         Each batch's per-batch means are weighted by the batch's true
@@ -343,6 +343,14 @@ class Trainer:
         eval step reports its psum'd global weight.  The result is the exact
         global masked mean, matching the train-side sums contract (a plain
         mean of per-batch means over-weights near-empty batches).
+
+        CONTRACT of the mask heuristic: every metric the loss_fn returns
+        must be a mean over the SAME normalizer the weight uses (per-point
+        masked means when ``mask`` is present).  A metric with a different
+        normalizer (e.g. a per-cloud accuracy inside a masked batch) would
+        be mis-weighted — pass ``weight_fn(batch) -> float`` to override the
+        heuristic with the correct per-batch weight (non-SPMD path only;
+        the SPMD path always uses the loss_fn's own psum'd weight).
         """
         total, wsum = {}, 0.0
         for batch in batches:
@@ -354,7 +362,9 @@ class Trainer:
                 w = float(w)
             else:
                 m = jax.device_get(out)
-                if isinstance(batch, dict) and "mask" in batch:
+                if weight_fn is not None:
+                    w = float(weight_fn(batch))
+                elif isinstance(batch, dict) and "mask" in batch:
                     w = float(jnp.sum(batch["mask"]))
                 else:
                     first = next(iter(batch.values())) if isinstance(batch, dict) else batch

@@ -59,11 +59,13 @@ def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_devtime",
 
     The only dispatch-immune timing under the axon tunnel (wall-clock minus
     a calibrated correction under-reports by ~1.5x — GOLDEN.md round 3):
-    reads the /device: plane of the trace and returns seconds/call for the
-    largest aggregated device event (the jit program entry — kernel plus
-    in-program slices, slightly conservative for the kernel alone), or
-    None if no trace was produced.  ``fn`` must be warmed/compiled by one
-    prior call; this helper calls it once before tracing.
+    reads the /device: plane of the trace and returns seconds/call as the
+    busiest LINE's total event duration (the module-level line — every
+    program the call dispatches, so multi-program jits like the CSR
+    center-chunked conv are fully counted; kernel plus in-program slices,
+    slightly conservative for the kernel alone), or None if no trace was
+    produced.  ``fn`` must be warmed/compiled by one prior call; this
+    helper calls it once before tracing.
 
     NOTE: ``logdir`` is DELETED and rewritten on every call (own default,
     separate from ``profile()``'s, so it never clobbers a trace collected
@@ -91,10 +93,11 @@ def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_devtime",
     for plane in pd.planes:
         if not plane.name.startswith("/device:"):
             continue
-        tot = {}
         for line in plane.lines:
-            for ev in line.events:
-                tot[ev.name] = tot.get(ev.name, 0) + ev.duration_ns
-        if tot:
-            best = max(best, max(tot.values()))
+            # a device-plane line is a non-overlapping sequence (module-,
+            # op-, … level); the busiest line is the module one, whose total
+            # covers EVERY program fn dispatches per call (ADVICE r3: the
+            # old max-of-one-event-name under-counted multi-program jits).
+            tot = sum(ev.duration_ns for ev in line.events)
+            best = max(best, tot)
     return best / 1e9 / iters if best else None

@@ -13,6 +13,29 @@ from __future__ import annotations
 import numpy as np
 
 
+# The conv kernels mark padding with sentinel coordinates at ±1e6 (see
+# ops/pointwise_conv.py); traced sentinel-collision validation is opt-in
+# (compile-cache reasons), so real-data loaders call this cheap host-side
+# guard instead — un-normalized inputs fail loudly at load time.
+COORD_LIMIT = 5.0e5
+
+
+def check_coordinates(xyz: np.ndarray, name: str = "points") -> np.ndarray:
+    """Host-side (non-traced) guard: coordinates must stay far from the
+    kernels' padding sentinel (±1e6) and be finite.  Returns ``xyz``."""
+    xyz = np.asarray(xyz)
+    if not np.all(np.isfinite(xyz)):
+        raise ValueError(f"{name}: non-finite coordinates in input data")
+    amax = float(np.abs(xyz).max()) if xyz.size else 0.0
+    if amax >= COORD_LIMIT:
+        raise ValueError(
+            f"{name}: |coordinate| max {amax:.3g} >= {COORD_LIMIT:.0e} "
+            "collides with the conv kernels' padding sentinel (1e6) — "
+            "normalize/recenter the scene before feeding it"
+        )
+    return xyz
+
+
 def _part1by2(x: np.ndarray) -> np.ndarray:
     """Spread the low 10 bits of x so there are 2 zero bits between each."""
     x = x.astype(np.uint32) & 0x3FF

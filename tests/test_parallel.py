@@ -92,15 +92,16 @@ def _iter_eqns(jaxpr):
 
 def _max_feature_elems(jaxpr):
     """Largest intermediate array (in elements) that scales with the POINT
-    count: coordinate arrays (any dim == 3) and kernel-cell weight tensors
-    (leading dim == 27, constant in N) are exempt."""
+    count: coordinate arrays (TRAILING dim == 3 only — a 3-channel global
+    FEATURE array must not escape; ADVICE r3) and kernel-cell weight
+    tensors (leading dim == 27, constant in N) are exempt."""
     import math
 
     best = 0
     for eqn in _iter_eqns(jaxpr):
         for v in eqn.outvars:
             shape = tuple(getattr(v.aval, "shape", ()) or ())
-            if shape and 3 not in shape and shape[0] != 27:
+            if shape and shape[-1] != 3 and shape[0] != 27:
                 best = max(best, math.prod(shape))
     return best
 
