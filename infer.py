@@ -37,6 +37,142 @@ def big_scene(n_points: int, seed: int = 0, num_classes: int = 5):
     )
 
 
+def scene_features(cfg, xyz, rgb):
+    """Training-convention input features: rgb (+ scene-normalized coords)."""
+    if cfg.in_features == 3:
+        return rgb
+    mins = xyz.min(0)
+    span = np.maximum(xyz.max(0) - mins, 1e-6)
+    return np.concatenate([rgb, (xyz - mins) / span], axis=1)
+
+
+def load_scene_file(path):
+    """One room/scene file on the s3dis on-disk contract: .npy (N, >=6) =
+    xyz, rgb [, label].  Returns (xyz f32, rgb f32 in [0,1], label|None)."""
+    from pointwise_tpu.utils.spatial import check_coordinates
+
+    arr = np.load(path)
+    if arr.ndim != 2 or arr.shape[1] < 6:
+        raise ValueError(f"{path}: expected (N, >=6) array, got {arr.shape}")
+    xyz = check_coordinates(arr[:, 0:3].astype(np.float32), name=path)
+    rgb = arr[:, 3:6].astype(np.float32)
+    if rgb.max() > 1.5:
+        rgb = rgb / 255.0
+    lab = arr[:, 6].astype(np.int32) if arr.shape[1] > 6 else None
+    return xyz, rgb, lab
+
+
+def load_profiles(path):
+    """Length-profile persistence (JSON {bucket: [tbs, [lengths...]]})."""
+    import os
+
+    if not path or not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        raw = json.load(f)
+    return {int(b): (int(v[0]), tuple(int(x) for x in v[1]))
+            for b, v in raw.items()}
+
+
+def save_profiles(path, profiles):
+    if not path:
+        return
+    with open(path, "w") as f:
+        json.dump({str(b): [v[0], list(v[1])] for b, v in profiles.items()},
+                  f)
+
+
+def serve(args, cfg, model, params):
+    """Keep-alive serving loop (VERDICT r3 task 1): programs compile/load
+    ONCE (on a synthetic warm-up scene), then every request streams at the
+    engine's steady-state rate — the fresh-process executable-load penalty
+    (47-68 s good hours, 3-5x worse through a degraded tunnel) is paid once
+    per process instead of once per scene.
+
+    Protocol (stdin -> stdout JSONL): one request per line —
+      ``<path>.npy``            infer the scene file, write <path>.pred.npy
+      ``synth:<n>``             procedural n-point scene (measurement)
+      ``quit``                  exit
+    Each reply line: {"scene", "n_points", "seconds", "pts_per_s", ...}.
+
+    Program reuse across requests: a shared length-profile dict (see
+    stream_apply_layered) keeps bucket-group schedules scene-independent
+    once warmed, so a new scene size does NOT stall on a fresh 20-60 s
+    program compile (measured: an unwarmed novel bucket schedule cost 125 s
+    mid-serve before profiles).  ``--profile-file`` persists the profile so
+    a RESTARTED server replays identical programs -> persistent compile
+    cache hits instead of recompiles.
+    """
+    import functools
+    import sys as _sys
+
+    profiles = load_profiles(args.profile_file)
+
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def apply_layered_p(p, pts, fts, cnt, sels, skips, lengths):
+        return model.apply({"params": p}, pts, fts, cnt, sels, skips,
+                           lengths=lengths, method="streaming_logits")
+
+    def apply_layered(pts, fts, cnt, sels, skips, lengths):
+        return apply_layered_p(params, pts, fts, cnt, sels, skips, lengths)
+
+    def run(xyz, feats):
+        out = stream_apply_layered(
+            apply_layered, xyz, feats, radii=cfg.radii,
+            tile_size=args.tile_size, out_dim=cfg.num_classes,
+            tile_batch=args.tile_batch, length_profiles=profiles,
+        )
+        save_profiles(args.profile_file, profiles)
+        return out
+
+    if args.warm_points > 0:
+        t0 = time.time()
+        xyz, rgb, _ = big_scene(args.warm_points, num_classes=cfg.num_classes)
+        run(xyz, scene_features(cfg, xyz, rgb))
+        print(json.dumps({"ready": True,
+                          "warmup_s": round(time.time() - t0, 2),
+                          "warm_points": args.warm_points}), flush=True)
+    else:
+        print(json.dumps({"ready": True}), flush=True)
+
+    for line in _sys.stdin:
+        req = line.strip()
+        if not req or req.startswith("#"):
+            continue
+        if req == "quit":
+            break
+        try:
+            t0 = time.time()
+            if req.startswith("synth:"):
+                xyz, rgb, lab = big_scene(int(req.split(":", 1)[1]),
+                                          num_classes=cfg.num_classes)
+                out_path = None
+            else:
+                xyz, rgb, lab = load_scene_file(req)
+                out_path = req[: -len(".npy")] + ".pred.npy" \
+                    if req.endswith(".npy") else req + ".pred.npy"
+            t_load = time.time() - t0
+            t0 = time.time()
+            logits = run(xyz, scene_features(cfg, xyz, rgb))
+            dt = time.time() - t0
+            pred = logits.argmax(axis=1).astype(np.int32)
+            rec = {"scene": req, "n_points": len(xyz),
+                   "seconds": round(dt, 3),
+                   "pts_per_s": round(len(xyz) / dt),
+                   "load_s": round(t_load, 3)}
+            if out_path:
+                np.save(out_path, pred)
+                rec["output"] = out_path
+            if lab is not None:
+                m = s3dis.iou_metrics(pred, lab, cfg.num_classes)
+                rec["accuracy"] = round(m["accuracy"], 4)
+                rec["miou"] = round(m["miou"], 4)
+            print(json.dumps(rec), flush=True)
+        except Exception as e:  # keep serving on bad requests
+            print(json.dumps({"scene": req, "error": repr(e)[:200]}),
+                  flush=True)
+
+
 def main():
     from pointwise_tpu.utils.runtime import enable_compile_cache
 
@@ -61,25 +197,19 @@ def main():
                     help="stream the scene N times and report each pass; "
                          "passes beyond the first amortize compiles and "
                          "program loads — the keep-alive SERVING number")
+    ap.add_argument("--serve", action="store_true",
+                    help="keep-alive serving loop: warm once, then stream "
+                         "scenes from stdin requests (see serve())")
+    ap.add_argument("--warm-points", type=int, default=200_000,
+                    help="--serve warm-up scene size (0 disables)")
+    ap.add_argument("--profile-file", default=None,
+                    help="persist streaming length profiles (JSON): a "
+                         "restarted process replays the same programs, so "
+                         "the persistent compile cache hits")
     ap.add_argument("--dp", action="store_true",
                     help="shard tile batches over all local devices")
     args = ap.parse_args()
     cfg = get_config(args.config)
-
-    if args.data_dir:
-        xyz, rgb, lab = s3dis.load_rooms(args.data_dir)[0]
-    else:
-        t0 = time.time()
-        xyz, rgb, lab = big_scene(args.points, num_classes=cfg.num_classes)
-        print(f"# scene: {len(xyz)} pts in {time.time()-t0:.1f}s", flush=True)
-
-    # features must match training: rgb (+ scene-normalized coords)
-    if cfg.in_features == 3:
-        feats = rgb
-    else:
-        mins = xyz.min(0)
-        span = np.maximum(xyz.max(0) - mins, 1e-6)
-        feats = np.concatenate([rgb, (xyz - mins) / span], axis=1)
 
     model = PointwiseSegmenter(
         num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
@@ -99,6 +229,17 @@ def main():
         step = tr.restore_checkpoint(args.checkpoint_dir)
         params = tr.state.params
         print(f"# restored step {step}", flush=True)
+
+    if args.serve:
+        return serve(args, cfg, model, params)
+
+    if args.data_dir:
+        xyz, rgb, lab = s3dis.load_rooms(args.data_dir)[0]
+    else:
+        t0 = time.time()
+        xyz, rgb, lab = big_scene(args.points, num_classes=cfg.num_classes)
+        print(f"# scene: {len(xyz)} pts in {time.time()-t0:.1f}s", flush=True)
+    feats = scene_features(cfg, xyz, rgb)
 
     halo = float(sum(cfg.radii))
     t0 = time.time()
@@ -129,6 +270,7 @@ def main():
             mesh = make_mesh()
             print(f"# tile batches sharded over {mesh.shape['data']} devices",
                   flush=True)
+        profiles = load_profiles(args.profile_file)
         for rep in range(max(1, args.repeat)):
             t0 = time.time()
             logits = stream_apply_layered(
@@ -136,8 +278,11 @@ def main():
                 radii=cfg.radii, tile_size=args.tile_size,
                 out_dim=cfg.num_classes, tile_batch=args.tile_batch,
                 progress=prog if rep == 0 else None, mesh=mesh,
+                length_profiles=profiles,
             )
             dt_rep = time.time() - t0
+            if rep == 0:
+                save_profiles(args.profile_file, profiles)
             if args.repeat > 1:
                 print(f"# pass {rep}: {dt_rep:.2f}s -> "
                       f"{len(xyz)/dt_rep:.0f} pts/s", flush=True)

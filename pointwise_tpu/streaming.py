@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pointwise_tpu.native import GridIndex
@@ -30,6 +32,20 @@ from pointwise_tpu.utils.spatial import morton_code
 DEFAULT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
 
 SENTINEL = 1.0e6  # matches the conv kernels' padding coordinate
+
+
+@jax.jit
+def _stage(sx, sf, cand, centers, n0):
+    """Device-side tile staging: gather candidate rows from the resident
+    scene, re-center (translation invariance), sentinel-pad dead slots.
+    Module-level so the jit trace/executable cache persists across
+    stream_apply_layered calls — a keep-alive server retraces nothing."""
+    live = (jnp.arange(cand.shape[1], dtype=jnp.int32)[None, :]
+            < n0[:, None])
+    pts = jnp.where(live[..., None], sx[cand] - centers[:, None, :],
+                    jnp.float32(SENTINEL))
+    fts = jnp.where(live[..., None], sf[cand], 0.0)
+    return pts, fts
 
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
@@ -172,6 +188,7 @@ def stream_apply_layered(
     progress: Callable | None = None,
     mesh=None,
     data_axis: str = "data",
+    length_profiles: dict | None = None,
 ) -> np.ndarray:
     """Exact streaming with LAYER-WISE SHRINKING HALOS.
 
@@ -199,14 +216,16 @@ def stream_apply_layered(
     ``data_axis`` (scene arrays replicated, per-chunk index arrays sharded;
     GSPMD partitions the jitted stager/apply) — tile batches are
     embarrassingly parallel, so serving scales linearly over the mesh.
+
+    ``length_profiles``: optional mutable dict {bucket: (tbs, lengths)}
+    shared across calls (keep-alive serving).  Schedules are reused when an
+    existing entry covers the new scene and merged up otherwise, so program
+    compiles amortize across requests instead of recurring per scene.
     """
     import collections
     import concurrent.futures
     import queue as queue_mod
     import threading
-
-    import jax
-    import jax.numpy as jnp
 
     from pointwise_tpu.native import morton_codes
 
@@ -269,15 +288,6 @@ def stream_apply_layered(
     scene_xyz = put_scene(jnp.asarray(xyz))
     scene_fts = put_scene(jnp.asarray(features))
 
-    @jax.jit
-    def _stage(sx, sf, cand, centers, n0):
-        live = (jnp.arange(cand.shape[1], dtype=jnp.int32)[None, :]
-                < n0[:, None])
-        pts = jnp.where(live[..., None], sx[cand] - centers[:, None, :],
-                        jnp.float32(SENTINEL))
-        fts = jnp.where(live[..., None], sf[cand], 0.0)
-        return pts, fts
-
     out = np.zeros((len(xyz), out_dim), np.float32)
     done = 0
     pending: collections.deque = collections.deque()
@@ -302,7 +312,22 @@ def stream_apply_layered(
         tbs = max(1, min(tile_batch, (8192 * tile_batch) // b))
         tbs = -(-tbs // n_data) * n_data       # divisible by the mesh
         gmax = np.max(np.stack([j[3] for j in groups[b]]), axis=0)
-        meta[b] = (tbs, tuple(pad_len(int(m)) for m in gmax))
+        lengths = tuple(pad_len(int(m)) for m in gmax)
+        if length_profiles is not None:
+            # Keep-alive serving: ``lengths`` depends on this SCENE's
+            # per-group tile maxima, so every new scene would otherwise risk
+            # a fresh 20-60 s program compile mid-request.  A profile entry
+            # that elementwise covers this scene reuses the already-warm
+            # program (extra slots are sentinel-dead -> still exact, at most
+            # one ladder step of padding); on a miss the entry is merged
+            # UP (elementwise max of pad_len values is a pad_len value), so
+            # the program set converges monotonically across requests.
+            prof = length_profiles.get(b)
+            if prof is not None and prof[0] == tbs:
+                lengths = tuple(max(int(p), l)
+                                for p, l in zip(prof[1], lengths))
+            length_profiles[b] = (tbs, lengths)
+        meta[b] = (tbs, lengths)
 
     def warm_group(b):
         """Compile (or persistent-cache-load) one bucket group's programs on

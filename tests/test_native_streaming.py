@@ -152,6 +152,58 @@ def test_streaming_layered_data_parallel_matches():
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
 
 
+def test_streaming_layered_length_profile_reuse():
+    # Keep-alive serving contract: a length profile warmed on one scene is
+    # reused for a different scene whenever it covers the new scene's
+    # schedule (inflated slots are sentinel-dead -> outputs EXACTLY match a
+    # profile-free run), and misses merge the profile monotonically so the
+    # program set converges across requests.
+    import functools
+
+    from pointwise_tpu.models import PointwiseSegmenter
+    from pointwise_tpu.streaming import stream_apply_layered
+
+    radii = (0.25, 0.5)
+    model = PointwiseSegmenter(
+        num_classes=5, channels=(8, 8), radii=radii, head_dims=(16,),
+        impl="reference", dropout_rate=0.0, use_global_context=False,
+    )
+    big_xyz, big_rgb, _ = synthetic.segmentation_scene(3, num_objects=4,
+                                                       points_per_obj=200)
+    small_xyz, small_rgb, _ = synthetic.segmentation_scene(9, num_objects=2,
+                                                           points_per_obj=96)
+    params = jax.jit(
+        lambda r: model.init(r, jnp.asarray(big_xyz[None]),
+                             jnp.asarray(big_rgb[None]),
+                             jnp.ones((1, len(big_xyz))), train=False)
+    )(jax.random.PRNGKey(0))["params"]
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def apply_layered(pts, fts, cnt, sels, skips, lengths):
+        return model.apply({"params": params}, pts, fts, cnt, sels, skips,
+                           lengths=lengths, method="streaming_logits")
+
+    kw = dict(radii=radii, tile_size=2.0, out_dim=5,
+              buckets=(256, 512, 1024), tile_batch=2)
+    profiles: dict = {}
+    # warm request (big scene) populates the profile
+    stream_apply_layered(apply_layered, big_xyz, big_rgb,
+                         length_profiles=profiles, **kw)
+    warmed = dict(profiles)
+    assert warmed, "profile should be populated by the warm request"
+    # second request (different, smaller scene) must reuse covering entries
+    # unchanged AND match a profile-free run exactly
+    got = stream_apply_layered(apply_layered, small_xyz, small_rgb,
+                               length_profiles=profiles, **kw)
+    want = stream_apply_layered(apply_layered, small_xyz, small_rgb, **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    for b, (tbs, lengths) in warmed.items():
+        assert profiles[b][0] == tbs
+        assert all(new >= old
+                   for new, old in zip(profiles[b][1], lengths)), \
+            "profile entries must only grow (monotone merge)"
+
+
 @pytest.mark.slow
 def test_streaming_bucket_ladder_invariance():
     # SURVEY.md section 4 tier 2: the same scene through two bucket ladders
