@@ -240,7 +240,7 @@ def eval_shapenetpart(cfg: SegmentationConfig, args):
 
     data = shapenetpart.load_shapenetpart(
         cfg.data_dir or args.data_dir, "test", cfg.num_points,
-        synthetic_size=64, seed=cfg.seed,
+        synthetic_size=64, seed=cfg.seed, variant=cfg.variant,
     )
     model = ShapeNetPartSegmenter(
         num_parts=data.num_parts, num_categories=data.num_categories,

@@ -208,6 +208,10 @@ def main():
                          "the persistent compile cache hits")
     ap.add_argument("--dp", action="store_true",
                     help="shard tile batches over all local devices")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="also row-shard the device-resident scene over a "
+                         "'space' mesh axis of this size (scans beyond one "
+                         "chip's HBM; composes with --dp)")
     args = ap.parse_args()
     cfg = get_config(args.config)
 
@@ -264,12 +268,15 @@ def main():
             return apply_layered_p(params, pts, fts, cnt, sels, skips, lengths)
 
         mesh = None
-        if args.dp:
+        scene_axis = None
+        if args.dp or args.sp > 1:
             from pointwise_tpu.parallel import make_mesh
 
-            mesh = make_mesh()
-            print(f"# tile batches sharded over {mesh.shape['data']} devices",
-                  flush=True)
+            mesh = make_mesh(space=args.sp)
+            print(f"# tile batches over data:{mesh.shape['data']}"
+                  + (f", scene rows over space:{args.sp}"
+                     if args.sp > 1 else ""), flush=True)
+            scene_axis = "space" if args.sp > 1 else None
         profiles = load_profiles(args.profile_file)
         for rep in range(max(1, args.repeat)):
             t0 = time.time()
@@ -278,7 +285,7 @@ def main():
                 radii=cfg.radii, tile_size=args.tile_size,
                 out_dim=cfg.num_classes, tile_batch=args.tile_batch,
                 progress=prog if rep == 0 else None, mesh=mesh,
-                length_profiles=profiles,
+                scene_axis=scene_axis, length_profiles=profiles,
             )
             dt_rep = time.time() - t0
             if rep == 0:

@@ -58,7 +58,8 @@ def _load_h5_dir(path: str, split: str) -> PartSegData | None:
     )
 
 
-def synthetic_set(seed: int, num_clouds: int, n_points: int = 2048) -> PartSegData:
+def synthetic_set(seed: int, num_clouds: int, n_points: int = 2048,
+                  variant: str = "default") -> PartSegData:
     rng = np.random.RandomState(seed)
     cats = rng.randint(0, NUM_CATEGORIES, num_clouds).astype(np.int32)
     pts = np.stack(
@@ -74,12 +75,22 @@ def synthetic_set(seed: int, num_clouds: int, n_points: int = 2048) -> PartSegDa
         PARTS_PER_CATEGORY - 1,
     )
     part = (cats[:, None] * PARTS_PER_CATEGORY + sector).astype(np.int32)
+    if variant == "hard":
+        # Hard regression anchor (mirrors cls_synthetic_hard, VERDICT r3 #8):
+        # part labels come from the CANONICAL geometry above, then the cloud
+        # is deformed (anisotropic scale + SO(3) + jitter + ~3% outliers) —
+        # sectors stop being axis-aligned functions of the input coordinates
+        # and outlier points carry irreducible label noise, keeping the
+        # anchor off the saturation ceiling so it can actually regress.
+        pts = np.stack([synthetic._harden(rng, c) for c in pts])
+    elif variant != "default":
+        raise ValueError(f"unknown variant {variant!r}")
     return PartSegData(pts, cats, part, num_parts=NUM_CATEGORIES * PARTS_PER_CATEGORY)
 
 
 def load_shapenetpart(path: str | None, split: str = "train",
                       n_points: int = 2048, synthetic_size: int = 256,
-                      seed: int = 0) -> PartSegData:
+                      seed: int = 0, variant: str = "default") -> PartSegData:
     if path:
         data = _load_h5_dir(path, split)
         if data is not None:
@@ -95,7 +106,7 @@ def load_shapenetpart(path: str | None, split: str = "train",
             data.part = np.stack(part)
             return data
     seed = seed + (0 if split == "train" else 10_000)
-    data = synthetic_set(seed, synthetic_size, n_points)
+    data = synthetic_set(seed, synthetic_size, n_points, variant=variant)
     pts, part = [], []
     for i in range(len(data.points)):
         p, q = spatial.morton_sort(data.points[i], data.part[i])

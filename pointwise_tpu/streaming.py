@@ -188,6 +188,7 @@ def stream_apply_layered(
     progress: Callable | None = None,
     mesh=None,
     data_axis: str = "data",
+    scene_axis: str | None = None,
     length_profiles: dict | None = None,
 ) -> np.ndarray:
     """Exact streaming with LAYER-WISE SHRINKING HALOS.
@@ -221,6 +222,17 @@ def stream_apply_layered(
     shared across calls (keep-alive serving).  Schedules are reused when an
     existing entry covers the new scene and merged up otherwise, so program
     compiles amortize across requests instead of recurring per scene.
+
+    ``scene_axis`` (requires ``mesh``): ALSO shard the device-resident scene
+    arrays by rows over this mesh axis (SURVEY section 5 long-context tier
+    2).  Per-tile compute is already bounded by the bucket ladder — the ONLY
+    O(N_scene) device allocation is the resident scene (36 B/pt: xyz f32 +
+    6-ch features), which caps a single v5e (16 GB) at ~450M points.  Row
+    sharding drops that to N/space per chip; staging becomes a shard_map
+    owner-gather: each chip gathers the candidate rows it owns and a psum
+    over ``scene_axis`` assembles the tile (indices partition exactly one
+    owner each, so this is exact).  Tile batches stay sharded over
+    ``data_axis`` — the two compose as a (data, space) mesh.
     """
     import collections
     import concurrent.futures
@@ -273,6 +285,11 @@ def stream_apply_layered(
             return _bucket_for(n, ladder)
         return int(-(-n // 8192) * 8192)
 
+    if scene_axis is not None and mesh is None:
+        raise ValueError("scene_axis requires a mesh")
+    stage = _stage
+    scene_pad = xyz
+    feats_pad = features
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -281,12 +298,53 @@ def stream_apply_layered(
         n_data = mesh.shape[data_axis]
         put_scene = lambda a: jax.device_put(a, repl)       # noqa: E731
         put_rows = lambda a: jax.device_put(a, row_sh)      # noqa: E731
+        if scene_axis is not None:
+            n_space = mesh.shape[scene_axis]
+            pad = (-len(xyz)) % n_space
+            if pad:   # sentinel rows; no candidate index ever points here
+                scene_pad = np.concatenate(
+                    [xyz, np.full((pad, 3), SENTINEL, np.float32)])
+                feats_pad = np.concatenate(
+                    [features,
+                     np.zeros((pad, features.shape[1]), np.float32)])
+            scene_sh = NamedSharding(mesh, P(scene_axis))
+            put_scene = lambda a: jax.device_put(a, scene_sh)  # noqa: E731
+
+            @jax.jit
+            def stage(sx, sf, cand, centers, n0):
+                def local(sx, sf, cand, centers, n0):
+                    # owner-gather: every global index has exactly ONE
+                    # owning row shard, so the psum assembles each tile
+                    # exactly (non-owners contribute zeros)
+                    k = jax.lax.axis_index(scene_axis)
+                    ln = sx.shape[0]
+                    sel = cand - k * ln
+                    inr = (sel >= 0) & (sel < ln)
+                    sel = jnp.clip(sel, 0, ln - 1)
+                    pts = jax.lax.psum(
+                        jnp.where(inr[..., None], sx[sel], 0.0), scene_axis)
+                    fts = jax.lax.psum(
+                        jnp.where(inr[..., None], sf[sel], 0.0), scene_axis)
+                    live = (jnp.arange(cand.shape[1], dtype=jnp.int32)[None]
+                            < n0[:, None])
+                    pts = jnp.where(live[..., None],
+                                    pts - centers[:, None, :],
+                                    jnp.float32(SENTINEL))
+                    fts = jnp.where(live[..., None], fts, 0.0)
+                    return pts, fts
+
+                return jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(scene_axis), P(scene_axis), P(data_axis),
+                              P(data_axis), P(data_axis)),
+                    out_specs=(P(data_axis), P(data_axis)),
+                )(sx, sf, cand, centers, n0)
     else:
         n_data = 1
         put_scene = jax.device_put
         put_rows = jax.device_put
-    scene_xyz = put_scene(jnp.asarray(xyz))
-    scene_fts = put_scene(jnp.asarray(features))
+    scene_xyz = put_scene(jnp.asarray(scene_pad))
+    scene_fts = put_scene(jnp.asarray(feats_pad))
 
     out = np.zeros((len(xyz), out_dim), np.float32)
     done = 0
@@ -340,8 +398,8 @@ def stream_apply_layered(
             tbs, lengths = meta[b]
             cand = put_rows(np.zeros((tbs, lengths[0]), np.int32))
             ctr = put_rows(np.zeros((tbs, 3), np.float32))
-            pts_d, fts_d = _stage(scene_xyz, scene_fts, cand, ctr,
-                                  put_rows(np.zeros((tbs,), np.int32)))
+            pts_d, fts_d = stage(scene_xyz, scene_fts, cand, ctr,
+                                 put_rows(np.zeros((tbs,), np.int32)))
             apply_fn(
                 pts_d, fts_d,
                 put_rows(np.zeros((tbs, L + 1), np.int32)),
@@ -420,10 +478,10 @@ def stream_apply_layered(
         warm_done[b].wait()   # group's programs traced by the warm thread
         # async: stage (device gather) + dispatch while the previous chunk
         # computes; only index/schedule arrays cross the host link
-        pts_d, fts_d = _stage(scene_xyz, scene_fts,
-                              put_rows(cand_h),
-                              put_rows(ctr_h),
-                              put_rows(cnt[:, 0]))
+        pts_d, fts_d = stage(scene_xyz, scene_fts,
+                             put_rows(cand_h),
+                             put_rows(ctr_h),
+                             put_rows(cnt[:, 0]))
         logits_d = apply_fn(pts_d, fts_d, put_rows(cnt),
                             tuple(put_rows(x) for x in sels),
                             tuple(put_rows(x) for x in skips), lengths)

@@ -63,6 +63,7 @@ class SegmentationConfig:
     norm: str = "layer"
     impl: str = "auto"
     global_context: bool = True   # False => locality-only (exact streaming)
+    variant: str = "default"        # synthetic-set variant ('hard' = deformed)
     epochs: int = 50
     block_size: float = 1.0         # meters, sliding-block crop
     block_stride: float = 0.5       # training stride; eval overlaps for voting
@@ -119,6 +120,19 @@ _REGISTRY = {
         in_features=3,
         channels=(64, 64, 96, 96, 124, 124),
         radii=(0.1, 0.15, 0.2, 0.3, 0.4, 0.6),
+    ),
+    # hard part-seg anchor: canonical-geometry part labels + deformed
+    # clouds (see shapenetpart.synthetic_set variant='hard') so the pinned
+    # number sits off the ceiling and can regress (VERDICT r3 #8)
+    "shapenetpart_hard": SegmentationConfig(
+        name="shapenetpart_hard",
+        num_classes=50,
+        num_points=2048,
+        batch_size=8,
+        in_features=3,
+        channels=(64, 64, 96, 96, 124, 124),
+        radii=(0.1, 0.15, 0.2, 0.3, 0.4, 0.6),
+        variant="hard",
     ),
 }
 

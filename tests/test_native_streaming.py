@@ -152,6 +152,47 @@ def test_streaming_layered_data_parallel_matches():
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
 
 
+def test_streaming_layered_scene_sharded_matches():
+    # SURVEY section 5 long-context tier 2 composed END-TO-END: tile batches
+    # sharded over 'data' AND the device-resident scene arrays (the only
+    # O(N_scene) device allocation) row-sharded over 'space' on a
+    # (data:4, space:2) mesh.  The shard_map owner-gather staging must
+    # reproduce the unsharded streaming outputs exactly.
+    import functools
+
+    from pointwise_tpu.models import PointwiseSegmenter
+    from pointwise_tpu.parallel import make_mesh
+    from pointwise_tpu.streaming import stream_apply_layered
+
+    xyz, rgb, _ = synthetic.segmentation_scene(11, num_objects=4,
+                                               points_per_obj=192)
+    radii = (0.3, 0.5)
+    model = PointwiseSegmenter(
+        num_classes=4, channels=(8, 8), radii=radii, head_dims=(8,),
+        impl="reference", dropout_rate=0.0, use_global_context=False,
+    )
+    params = jax.jit(
+        lambda r: model.init(r, jnp.asarray(xyz[None]), jnp.asarray(rgb[None]),
+                             jnp.ones((1, len(xyz))), train=False)
+    )(jax.random.PRNGKey(0))["params"]
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def apply_layered(pts, fts, cnt, sels, skips, lengths):
+        return model.apply({"params": params}, pts, fts, cnt, sels, skips,
+                           lengths=lengths, method="streaming_logits")
+
+    kw = dict(radii=radii, tile_size=2.0, out_dim=4, buckets=(256, 512, 1024),
+              tile_batch=4)
+    single = stream_apply_layered(apply_layered, xyz, rgb, **kw)
+    sharded = stream_apply_layered(apply_layered, xyz, rgb,
+                                   mesh=make_mesh(space=2),
+                                   scene_axis="space", **kw)
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="mesh"):
+        stream_apply_layered(apply_layered, xyz, rgb, scene_axis="space",
+                             **kw)
+
+
 def test_streaming_layered_length_profile_reuse():
     # Keep-alive serving contract: a length profile warmed on one scene is
     # reused for a different scene whenever it covers the new scene's

@@ -285,7 +285,8 @@ def train_shapenetpart(cfg: SegmentationConfig, args):
     from pointwise_tpu.models import ShapeNetPartSegmenter
 
     data = shapenetpart.load_shapenetpart(
-        cfg.data_dir or args.data_dir, "train", cfg.num_points, seed=cfg.seed
+        cfg.data_dir or args.data_dir, "train", cfg.num_points, seed=cfg.seed,
+        variant=cfg.variant,
     )
     model = ShapeNetPartSegmenter(
         num_parts=data.num_parts,
