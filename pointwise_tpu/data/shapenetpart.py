@@ -58,6 +58,28 @@ def _load_h5_dir(path: str, split: str) -> PartSegData | None:
     )
 
 
+def _harden_partseg(rng: np.random.RandomState, p: np.ndarray) -> np.ndarray:
+    """Deform one cloud, keeping canonical-frame part labels LEARNABLE:
+    anisotropic scale, bounded (+-20 deg) rotation about a random axis,
+    surface jitter, ~2% outliers.  See synthetic_set variant='hard'."""
+    p = p * rng.uniform(0.7, 1.4, 3)[None, :]
+    axis = rng.normal(size=3)
+    axis /= max(np.linalg.norm(axis), 1e-8)
+    ang = rng.uniform(-np.pi / 9, np.pi / 9)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+    p = p @ R.T
+    p = p + rng.normal(0, 0.02, p.shape)
+    n_out = max(1, len(p) // 50)                      # ~2% outliers
+    idx = rng.choice(len(p), n_out, replace=False)
+    p[idx] = rng.uniform(-1, 1, (n_out, 3))
+    # unit-sphere renormalize (matches the loader contract)
+    p = p - p.mean(axis=0, keepdims=True)
+    return (p / max(np.linalg.norm(p, axis=1).max(), 1e-8)).astype(np.float32)
+
+
 def synthetic_set(seed: int, num_clouds: int, n_points: int = 2048,
                   variant: str = "default") -> PartSegData:
     rng = np.random.RandomState(seed)
@@ -76,13 +98,17 @@ def synthetic_set(seed: int, num_clouds: int, n_points: int = 2048,
     )
     part = (cats[:, None] * PARTS_PER_CATEGORY + sector).astype(np.int32)
     if variant == "hard":
-        # Hard regression anchor (mirrors cls_synthetic_hard, VERDICT r3 #8):
-        # part labels come from the CANONICAL geometry above, then the cloud
-        # is deformed (anisotropic scale + SO(3) + jitter + ~3% outliers) —
-        # sectors stop being axis-aligned functions of the input coordinates
+        # Hard regression anchor (VERDICT r3 #8): part labels come from the
+        # CANONICAL geometry above, then the cloud is deformed — sectors
+        # stop being simple axis-aligned functions of the input coordinates
         # and outlier points carry irreducible label noise, keeping the
         # anchor off the saturation ceiling so it can actually regress.
-        pts = np.stack([synthetic._harden(rng, c) for c in pts])
+        # NOTE deliberately NOT cls-style full SO(3): rotation-symmetric
+        # primitives (sphere/cylinder/torus) give the net no way to recover
+        # the canonical frame, making sector labels ILL-POSED — measured
+        # 0.83 train acc (memorization) vs 0.33 test acc (= 1/3 sector
+        # chance).  Bounded rotation keeps the task hard but learnable.
+        pts = np.stack([_harden_partseg(rng, c) for c in pts])
     elif variant != "default":
         raise ValueError(f"unknown variant {variant!r}")
     return PartSegData(pts, cats, part, num_parts=NUM_CATEGORIES * PARTS_PER_CATEGORY)

@@ -101,6 +101,12 @@ class PwConvSpec:
     # the subset's finished output — the memory-bounded ring strategy
     # (parallel/spatial.py) accumulates per-slab outputs under ppermute.
     ext_counts: bool = False
+    # Per-stage xprof attribution (scripts/attribute_fwd_kernel.py):
+    # jax.named_scope boundaries inside a Mosaic kernel lower to
+    # tpu.trace_start/trace_stop, giving DEVICE-plane durations per stage.
+    # Opt-in only: the trace ops can constrain the in-kernel scheduler, so
+    # production programs never carry them.
+    annotate: bool = False
 
 
 def _mm_precision(mm_dtype):
@@ -142,14 +148,21 @@ def _foreach_mask(pr, pc, spec, mmt, emit):
     masks one — wrong results) that measures the kernel's MXU + pipeline
     floor with zero mask-construction cost.
     """
+    import contextlib
+
+    scope = jax.named_scope if spec.annotate else \
+        (lambda name: contextlib.nullcontext())
     if spec.mask_mode == "const":     # ablation: timing floor, wrong results
         mk = (pr[:, 0:1] + pc[0:1, :] < jnp.float32(2 * _SENTINEL_CUT)).astype(mmt)
         for k in range(N_CELLS):
             emit(k, mk)
     else:
-        code = _pairwise_code(pr, pc, spec.radius)
+        with scope("mask_code"):
+            code = _pairwise_code(pr, pc, spec.radius)
         for k in range(N_CELLS):
-            emit(k, (code == jnp.float32(k)).astype(mmt))
+            with scope("mask_cmp"):
+                plane = (code == jnp.float32(k)).astype(mmt)
+            emit(k, plane)
 
 
 def _bin_accumulate(acc_ref, pr, pc, x, spec):
@@ -269,6 +282,10 @@ def _fwd_kernel_resident(pr_ref, pc_ref, f_ref, w_ref, b_ref, *rest, spec):
         cntin_ref, y_ref, cnt_ref = rest
     else:
         (y_ref, cnt_ref), cntin_ref = rest, None
+    import contextlib
+
+    scope = jax.named_scope if spec.annotate else \
+        (lambda name: contextlib.nullcontext())
     pr = pr_ref[0]                   # (TN, 3)
     mmt = jnp.dtype(spec.mm_dtype)
     prec = _mm_precision(mmt)
@@ -280,12 +297,15 @@ def _fwd_kernel_resident(pr_ref, pc_ref, f_ref, w_ref, b_ref, *rest, spec):
         x = f_ref[0][j * tm : (j + 1) * tm].astype(mmt)
 
         def emit(k, plane):
-            sums[k] = sums[k] + jnp.dot(
-                plane, x, preferred_element_type=jnp.float32, precision=prec)
+            with scope("mxu_bin"):
+                sums[k] = sums[k] + jnp.dot(
+                    plane, x, preferred_element_type=jnp.float32,
+                    precision=prec)
 
         _foreach_mask(pr, pc, spec, mmt, emit)
     ce = None if cntin_ref is None else cntin_ref[0]
-    y, cnts = _finalize_tile(sums, w_ref, b_ref, spec, mmt, cnt_ext=ce)
+    with scope("finalize"):
+        y, cnts = _finalize_tile(sums, w_ref, b_ref, spec, mmt, cnt_ext=ce)
     y_ref[0] = y
     cnt_ref[0] = cnts
 

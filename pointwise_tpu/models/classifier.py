@@ -25,7 +25,11 @@ from pointwise_tpu.models.layers import PointwiseConvBlock, masked_pool
 
 class PointwiseClassifier(nn.Module):
     num_classes: int = 40
-    channels: Sequence[int] = (64, 64, 96, 124)
+    # all-124 trunk: device time is FLAT from 64- to 124-wide layers
+    # (the kernel is bound by the padded cin_p=128 matmul shape, GOLDEN
+    # round-4 lane-filling table), so narrow early layers waste lanes
+    # for zero time saving; 124 keeps cin+1 <= 128 (counts column)
+    channels: Sequence[int] = (124, 124, 124, 124)
     radii: Sequence[float] = (0.25, 0.5, 1.0, 2.0)   # unit-sphere clouds
     head_dims: Sequence[int] = (256, 128)
     dropout_rate: float = 0.3

@@ -30,7 +30,8 @@ class PointwiseSegmenter(nn.Module):
     """
 
     num_classes: int
-    channels: Sequence[int] = (64, 64, 96, 124)
+    # all-124 trunk: lane-filling at zero time cost (see classifier)
+    channels: Sequence[int] = (124, 124, 124, 124)
     radii: Sequence[float] = (0.1, 0.2, 0.4, 0.8)    # block-normalized coords
     head_dims: Sequence[int] = (256, 128)
     dropout_rate: float = 0.3
@@ -158,7 +159,7 @@ class ShapeNetPartSegmenter(nn.Module):
 
     num_parts: int = 50
     num_categories: int = 16
-    channels: Sequence[int] = (64, 64, 96, 96, 124, 124)
+    channels: Sequence[int] = (124, 124, 124, 124, 124, 124)
     radii: Sequence[float] = (0.15, 0.25, 0.4, 0.6, 0.9, 1.4)
     head_dims: Sequence[int] = (256, 128)
     dropout_rate: float = 0.3

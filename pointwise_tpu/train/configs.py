@@ -30,7 +30,8 @@ class ClassificationConfig:
     num_points: int = 1024
     batch_size: int = 32
     num_classes: int = 40
-    channels: Tuple[int, ...] = (64, 64, 96, 124)
+    # all-124 trunk: lane-filling at zero time cost (GOLDEN round 4)
+    channels: Tuple[int, ...] = (124, 124, 124, 124)
     radii: Tuple[float, ...] = (0.25, 0.5, 1.0, 2.0)
     head_dims: Tuple[int, ...] = (256, 128)
     dropout: float = 0.3
@@ -56,7 +57,8 @@ class SegmentationConfig:
     batch_size: int = 16
     num_classes: int = 13
     in_features: int = 6            # rgb + normalized room coords, set per dataset
-    channels: Tuple[int, ...] = (64, 64, 96, 124)
+    # all-124 trunk: lane-filling at zero time cost (GOLDEN round 4)
+    channels: Tuple[int, ...] = (124, 124, 124, 124)
     radii: Tuple[float, ...] = (0.1, 0.2, 0.4, 0.8)
     head_dims: Tuple[int, ...] = (256, 128)
     dropout: float = 0.3
@@ -118,7 +120,7 @@ _REGISTRY = {
         num_points=2048,
         batch_size=8,
         in_features=3,
-        channels=(64, 64, 96, 96, 124, 124),
+        channels=(124, 124, 124, 124, 124, 124),
         radii=(0.1, 0.15, 0.2, 0.3, 0.4, 0.6),
     ),
     # hard part-seg anchor: canonical-geometry part labels + deformed
@@ -130,7 +132,7 @@ _REGISTRY = {
         num_points=2048,
         batch_size=8,
         in_features=3,
-        channels=(64, 64, 96, 96, 124, 124),
+        channels=(124, 124, 124, 124, 124, 124),
         radii=(0.1, 0.15, 0.2, 0.3, 0.4, 0.6),
         variant="hard",
     ),

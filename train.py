@@ -364,11 +364,16 @@ def main():
                     help="override the config's normalization (norm='batch' "
                          "threads BatchNorm batch_stats through the trainer, "
                          "matching the reference's TF-1 BN training)")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override the config seed (init + data + rng "
+                         "stream; seed sweeps for anchor variance)")
     args = ap.parse_args()
 
     cfg = get_config(args.config)
     if args.norm:
         cfg = dataclasses.replace(cfg, norm=args.norm)
+    if args.seed is not None:
+        cfg = dataclasses.replace(cfg, seed=args.seed)
     if args.checkpoint_dir:
         cfg = dataclasses.replace(cfg, checkpoint_dir=args.checkpoint_dir)
     print(f"# config={args.config} backend={jax.default_backend()} "
