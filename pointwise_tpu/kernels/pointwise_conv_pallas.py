@@ -105,8 +105,21 @@ class PwConvSpec:
     # jax.named_scope boundaries inside a Mosaic kernel lower to
     # tpu.trace_start/trace_stop, giving DEVICE-plane durations per stage.
     # Opt-in only: the trace ops can constrain the in-kernel scheduler, so
-    # production programs never carry them.
+    # production programs never carry them.  (Verified lowering emits the
+    # trace ops, but the axon profiler plugin drops in-kernel marks at every
+    # exposed option — attribution uses the num_emit/'scaled' bisection
+    # sweep below instead; see GOLDEN.md round-4 attribution.)
     annotate: bool = False
+    # Bisection ablations (scripts/attribute_fwd_kernel.py; WRONG results,
+    # timing only):
+    #   num_emit < 27 — emit only the first K binning planes.  t(K) is
+    #     linear; the slope is the marginal (mask VPU + matmul) cost per
+    #     plane and the intercept is code build + finalize + pipeline.
+    #   mask_mode='scaled' — plane = code * c_k (distinct per-k constant):
+    #     same matmul count/shapes (CSE-proof), but one VPU multiply per
+    #     plane instead of compare+select.  slope('compare') -
+    #     slope('scaled') isolates the per-plane mask-compare VPU cost.
+    num_emit: int = N_CELLS
 
 
 def _mm_precision(mm_dtype):
@@ -154,12 +167,16 @@ def _foreach_mask(pr, pc, spec, mmt, emit):
         (lambda name: contextlib.nullcontext())
     if spec.mask_mode == "const":     # ablation: timing floor, wrong results
         mk = (pr[:, 0:1] + pc[0:1, :] < jnp.float32(2 * _SENTINEL_CUT)).astype(mmt)
-        for k in range(N_CELLS):
+        for k in range(spec.num_emit):
             emit(k, mk)
+    elif spec.mask_mode == "scaled":  # ablation: 1 VPU mul/plane, wrong results
+        code = _pairwise_code(pr, pc, spec.radius)
+        for k in range(spec.num_emit):
+            emit(k, (code * jnp.float32(0.5 + 0.25 * k)).astype(mmt))
     else:
         with scope("mask_code"):
             code = _pairwise_code(pr, pc, spec.radius)
-        for k in range(N_CELLS):
+        for k in range(spec.num_emit):
             with scope("mask_cmp"):
                 plane = (code == jnp.float32(k)).astype(mmt)
             emit(k, plane)

@@ -89,15 +89,24 @@ def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_devtime",
     if not files:
         return None
     pd = jax.profiler.ProfileData.from_file(files[-1])
-    best = 0.0
+    best_module = 0.0
+    best_any = 0.0
     for plane in pd.planes:
         if not plane.name.startswith("/device:"):
             continue
         for line in plane.lines:
             # a device-plane line is a non-overlapping sequence (module-,
-            # op-, … level); the busiest line is the module one, whose total
-            # covers EVERY program fn dispatches per call (ADVICE r3: the
-            # old max-of-one-event-name under-counted multi-program jits).
+            # op-, … level); we want the MODULE line, whose total covers
+            # EVERY program fn dispatches per call (ADVICE r3: max-of-one-
+            # event-name under-counted multi-program jits).  Identify it by
+            # its "jit_…" program events rather than taking the busiest
+            # line: the async-copy line's events OVERLAP each other (and
+            # the kernel), so its sum exceeds wall and over-reported short
+            # programs (measured: a 0.57 ms program read as 1.39 ms — the
+            # staging-copy line total; GOLDEN round-4 attribution).
             tot = sum(ev.duration_ns for ev in line.events)
-            best = max(best, tot)
+            best_any = max(best_any, tot)
+            if any(ev.name.startswith("jit") for ev in line.events):
+                best_module = max(best_module, tot)
+    best = best_module or best_any
     return best / 1e9 / iters if best else None

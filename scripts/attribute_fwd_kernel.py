@@ -2,23 +2,32 @@
 """Per-stage DEVICE attribution of the resident forward conv kernel.
 
 VERDICT r3 item 4: ~0.23 of nominal was unattributed in the forward kernel.
-jax.named_scope boundaries inside a Mosaic kernel lower to
-tpu.trace_start/trace_stop (jax/_src/pallas/mosaic/lowering.py), so an
-``annotate=True`` spec gives xprof trace events for each stage:
 
-  mask_code  — float cell-code build (_pairwise_code), once per cand tile
-  mask_cmp   — (code == k) compare+select, 27x per cand tile
-  mxu_bin    — binning matmul plane @ x, 27x per cand tile
-  finalize   — counts divide + (TN, 27*Cinp) @ (27*Cinp, Coutp) + bias
+Primary method — bisection sweep (``--sweep``, default): time DCE-proof
+kernel ablations on the device plane and decompose linearly.
 
-Usage: python scripts/attribute_fwd_kernel.py [cin] [iters]
-Prints per-stage totals (ms/call) from the trace's device plane, next to
-the un-annotated kernel's device time (the trace ops can constrain the
-Mosaic scheduler, so the annotated total may exceed the production time —
-report both and attribute proportionally).
+  t(K, mode) = intercept + K * slope(mode)      for K emitted planes
+
+  * mode='compare' (production): plane = (code == k), compare+select/plane
+  * mode='scaled' (ablation):    plane = code * c_k, one VPU multiply/plane
+    — same matmul count and shapes (distinct c_k defeats CSE), so
+    slope(compare) - slope(scaled) = the per-plane mask-compare VPU cost,
+    and slope(scaled) ~= per-plane binning matmul + pipeline cost (+1 mul).
+  * intercept = cell-code build + finalize matmul + fixed pipeline overhead.
+
+Fallback method (``--marks``): jax.named_scope boundaries inside a Mosaic
+kernel lower to tpu.trace_start/trace_stop (verified: 111 trace ops emitted
+in lowering with spec.annotate=True, zero device-time perturbation), but the
+axon profiler plugin DROPS in-kernel trace marks at every exposed option
+(probed: default, tpu_trace_level, trace_level, tpu_trace_mode,
+tpu_ultra_low_overhead, host_tracer_level=3 — all 0 tagged events).  Kept
+for stacks whose profiler surfaces level-10 marks.
+
+Usage: python scripts/attribute_fwd_kernel.py [--marks] [cin] [iters]
 """
 import collections
 import glob
+import importlib
 import os
 import shutil
 import sys
@@ -27,45 +36,143 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pointwise_tpu.ops import pointwise_conv
 from pointwise_tpu.utils.runtime import (enable_compile_cache,
                                          profile_device_time, sync)
 
+kmod = importlib.import_module("pointwise_tpu.kernels.pointwise_conv_pallas")
+opmod = importlib.import_module("pointwise_tpu.ops.pointwise_conv")
 
-def main():
-    enable_compile_cache()
-    B, N, radius = 64, 1024, 0.5
-    cin = cout = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+B, N, RADIUS = 64, 1024, 0.5
+NOMINAL_TF = 197e12
+
+
+def _make_fn(pts, feats, w, **spec_overrides):
+    orig_spec = opmod.PwConvSpec
+
+    def patched(*a, **kw):
+        kw["resident"] = True
+        kw.update(spec_overrides)
+        return orig_spec(*a, **kw)
+
+    opmod.PwConvSpec = patched
+    try:
+        fn = jax.jit(lambda f, w_: pointwise_conv(
+            pts, f, w_, None, radius=RADIUS, precision="bfloat16"))
+        # jit is lazy: force tracing+compile while the spec patch is active
+        # (the spec_overrides kwargs are the whole point of this function).
+        sync(fn(feats, w))
+        return fn
+    finally:
+        opmod.PwConvSpec = orig_spec
+
+
+def _detail(fn, feats, w, iters):
+    """(program_ms, kernel_ms, staging_issued_ms) off one trace: module-line
+    total, pallas custom-call op events, and the async pad/transpose/copy
+    staging ops (which OVERLAP the kernel — their sum can exceed wall)."""
+    logdir = "/tmp/pw_attr_detail"
+    shutil.rmtree(logdir, ignore_errors=True)
+    sync(fn(feats, w))
+    jax.profiler.start_trace(logdir)
+    try:
+        r = None
+        for _ in range(iters):
+            r = fn(feats, w)
+        sync(r)
+    finally:
+        jax.profiler.stop_trace()
+    files = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
+    pd = jax.profiler.ProfileData.from_file(files[-1])
+    module = kern = stage = 0.0
+    for plane in pd.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        for line in plane.lines:
+            tot = sum(ev.duration_ns for ev in line.events)
+            if any(ev.name.startswith("jit") for ev in line.events):
+                module = max(module, tot)
+            for ev in line.events:
+                nm = ev.name
+                if nm.startswith("jit"):
+                    continue
+                if "custom" in nm or "_lambda_" in nm:
+                    kern += ev.duration_ns
+                elif any(s in nm for s in ("slice-start", "dynamic-update",
+                                           "copy", "convert", "pad")):
+                    stage += ev.duration_ns
+    s = 1e-6 / iters
+    return module * s, kern * s, stage * s
+
+
+def sweep(cin, iters):
+    cout = cin
     k = jax.random.split(jax.random.PRNGKey(0), 3)
     pts = jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1)
     feats = jax.random.normal(k[1], (B, N, cin))
     w = jax.random.normal(k[2], (27, cin, cout)) * 0.1
 
-    import importlib
+    cin_p = 128  # padded (counts column included)
+    per_plane_tf = 2 * B * N * N * cin_p / 1e12
+    finalize_tf = 2 * B * N * (27 * cin_p) * 128 / 1e12
+    mm_ideal = per_plane_tf / NOMINAL_TF * 1e15     # ms/plane at nominal
+    fin_ideal = finalize_tf / NOMINAL_TF * 1e15
+    print(f"model: binning {per_plane_tf*1e3:.2f} GF/plane "
+          f"({mm_ideal:.4f} ms at nominal), finalize {finalize_tf*1e3:.2f} "
+          f"GF ({fin_ideal:.4f} ms at nominal)")
 
-    kmod = importlib.import_module(
-        "pointwise_tpu.kernels.pointwise_conv_pallas")
-    opmod = importlib.import_module("pointwise_tpu.ops.pointwise_conv")
-    orig_spec = kmod.PwConvSpec
+    times = {}
+    for mode, K in [("compare", 9), ("compare", 18), ("compare", 27),
+                    ("scaled", 27), ("compare", 0)]:
+        fn = _make_fn(pts, feats, w, mask_mode=mode, num_emit=K)
+        prog, kern, stage = _detail(fn, feats, w, iters)
+        times[(mode, K)] = (prog, kern, stage)
+        print(f"  {mode:8s} K={K:2d}: program {prog:7.3f} ms, kernel "
+              f"{kern:7.3f} ms, staging issued {stage:6.3f} ms")
 
-    def make(annotate):
-        def patched(*a, **kw):
-            kw["resident"] = True
-            kw["annotate"] = annotate
-            return orig_spec(*a, **kw)
-        opmod.PwConvSpec = patched
-        fn = jax.jit(lambda f, w_: pointwise_conv(
-            pts, f, w_, None, radius=radius, precision="bfloat16"))
-        sync(fn(feats, w))
-        return fn
+    prog27, kern27, stage27 = times[("compare", 27)]
+    prog0, kern0, _ = times[("compare", 0)]
+    slope = (times[("compare", 27)][0] - times[("compare", 18)][0]) / 9.0
+    binning = kern27 - kern0
+    exposed = prog27 - kern27
+    print(f"\nmarginal plane cost (K 18->27): {slope:.4f} ms "
+          f"({slope/mm_ideal:.2f}x nominal ideal {mm_ideal:.4f})")
+    print(f"scaled-mask kernel delta (mask VPU exposure): "
+          f"{times[('scaled', 27)][1] - kern27:+.3f} ms")
+    print(f"\nattribution of the production program ({prog27:.3f} ms @ "
+          f"cin={cin}):")
+    rows = [
+        ("pallas kernel total", kern27),
+        ("  binning candidate walk (kernel K27-K0)", binning),
+        ("    vs 27-plane pure-MXU ideal", 27 * mm_ideal),
+        ("  finalize + kernel fixed (kernel K0)", kern0),
+        ("    vs finalize pure-MXU ideal", fin_ideal),
+        ("exposed input staging (program - kernel)", exposed),
+        (f"  (staging issued {stage27:.3f} ms, mostly overlapped)", None),
+    ]
+    for name, ms in rows:
+        if ms is None:
+            print(f"  {name}")
+        else:
+            print(f"  {name:45s} {ms:7.3f} ms  {ms/prog27:6.1%}")
+    ideal = 27 * mm_ideal + fin_ideal
+    print(f"  ideal-compute / program = {ideal/prog27:.3f} "
+          f"(= the executed-utilization reading)")
 
-    base = make(False)
+
+def marks(cin, iters):
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    pts = jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1)
+    feats = jax.random.normal(k[1], (B, N, cin))
+    w = jax.random.normal(k[2], (27, cin, cin)) * 0.1
+
+    base = _make_fn(pts, feats, w)
     t_plain = profile_device_time(lambda: base(feats, w), iters=iters)
     print(f"un-annotated kernel: {t_plain*1e3:.3f} ms/call (device plane)")
 
-    fn = make(True)
+    fn = _make_fn(pts, feats, w, annotate=True)
     logdir = "/tmp/pw_attr_trace"
     shutil.rmtree(logdir, ignore_errors=True)
     sync(fn(feats, w))
@@ -77,7 +184,6 @@ def main():
         sync(r)
     finally:
         jax.profiler.stop_trace()
-    opmod.PwConvSpec = orig_spec
 
     files = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
     if not files:
@@ -85,7 +191,6 @@ def main():
         return
     pd = jax.profiler.ProfileData.from_file(files[-1])
     per_name = collections.Counter()
-    n_events = collections.Counter()
     t_annot = 0.0
     for plane in pd.planes:
         if not plane.name.startswith("/device:"):
@@ -97,27 +202,26 @@ def main():
                 for tag in ("mask_code", "mask_cmp", "mxu_bin", "finalize"):
                     if tag in ev.name:
                         per_name[tag] += ev.duration_ns
-                        n_events[tag] += 1
     t_annot = t_annot / 1e9 / iters
-    print(f"annotated kernel total: {t_annot*1e3:.3f} ms/call "
-          f"(scheduler may be constrained by trace ops)")
-    tagged = sum(per_name.values()) / 1e9 / iters
+    print(f"annotated kernel total: {t_annot*1e3:.3f} ms/call")
+    if not per_name:
+        print("no tagged events — this profiler drops in-kernel trace marks"
+              " (known axon-plugin behavior); use the default --sweep mode")
+        return
     for tag, ns in per_name.most_common():
         t = ns / 1e9 / iters
-        print(f"  {tag:10s} {t*1e3:8.3f} ms/call  ({n_events[tag]//iters} "
-              f"events/call)  {t/t_annot:5.1%} of annotated total")
-    print(f"  {'untagged':10s} {(t_annot-tagged)*1e3:8.3f} ms/call  "
-          f"(pipeline/fetch/write + anything outside scopes)")
-    if not per_name:
-        print("  (no tagged events found — dumping top event names)")
-        names = collections.Counter()
-        for plane in pd.planes:
-            if plane.name.startswith("/device:"):
-                for line in plane.lines:
-                    for ev in line.events:
-                        names[ev.name] += ev.duration_ns
-        for nm, ns in names.most_common(25):
-            print(f"    {ns/1e6:9.2f} ms total  {nm[:90]}")
+        print(f"  {tag:10s} {t*1e3:8.3f} ms/call  {t/t_annot:5.1%}")
+
+
+def main():
+    enable_compile_cache()
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cin = int(args[0]) if args else 64
+    iters = int(args[1]) if len(args) > 1 else 8
+    if "--marks" in sys.argv:
+        marks(cin, iters)
+    else:
+        sweep(cin, iters)
 
 
 if __name__ == "__main__":
