@@ -318,6 +318,36 @@ def test_csr_gradients_match_dense():
         )
 
 
+def test_attribution_ablations_run(monkeypatch):
+    """The timing-only ablation knobs behind scripts/attribute_fwd_kernel.py
+    (GOLDEN round-4 attribution) must not bitrot: num_emit=27 in 'compare'
+    mode IS the production kernel (bit-identical output), while 'scaled'
+    masks and truncated plane counts run but produce different (wrong)
+    values by design."""
+    import importlib
+
+    kmod = importlib.import_module("pointwise_tpu.kernels.pointwise_conv_pallas")
+    opmod = importlib.import_module("pointwise_tpu.ops.pointwise_conv")
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(31), b=1, n=96)
+    orig_spec = kmod.PwConvSpec
+
+    def run(**overrides):
+        def patched(*a, **kw):
+            kw.update(overrides)
+            return orig_spec(*a, **kw)
+
+        monkeypatch.setattr(opmod, "PwConvSpec", patched)
+        return pointwise_conv(pts, feats, w, bias, radius=0.5, impl="pallas")
+
+    y_prod = run()
+    y_full = run(num_emit=kmod.N_CELLS)
+    np.testing.assert_array_equal(np.asarray(y_full), np.asarray(y_prod))
+    for y_ablate in (run(num_emit=9), run(mask_mode="scaled")):
+        assert y_ablate.shape == y_prod.shape
+        assert np.all(np.isfinite(np.asarray(y_ablate)))
+        assert not np.allclose(np.asarray(y_ablate), np.asarray(y_prod))
+
+
 @pytest.mark.slow
 def test_csr_backward_chunking(monkeypatch):
     # Shrink the SMEM budget so the CSR dW/dX calls must chunk their scalar
