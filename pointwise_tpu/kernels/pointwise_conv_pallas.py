@@ -120,6 +120,13 @@ class PwConvSpec:
     #     plane instead of compare+select.  slope('compare') -
     #     slope('scaled') isolates the per-plane mask-compare VPU cost.
     num_emit: int = N_CELLS
+    # dX plane orientation: True builds the binning planes candidates-as-
+    # rows so every walk matmul is a standard (TMO, TNI) @ (TNI, Coutp)
+    # contraction — the same MXU shape as the forward walk — instead of a
+    # transposed dot_general per plane.  CPU-interpret parity is pinned
+    # both ways (tests/test_pointwise_conv.py dx_flip tests); the default
+    # follows the on-chip A/B (GOLDEN round-4 backward attribution).
+    dx_flip: bool = False
 
 
 def _mm_precision(mm_dtype):
@@ -128,7 +135,7 @@ def _mm_precision(mm_dtype):
     return jax.lax.Precision.DEFAULT if jnp.dtype(mm_dtype) == jnp.bfloat16 else None
 
 
-def _pairwise_code(pr, pc, radius):
+def _pairwise_code(pr, pc, radius, flip=False):
     """Float cell code with validity folded in for a (TN, 3) center tile vs
     a (3, TM) candidate tile: valid pairs get cell cx*9+cy*3+cz in [0, 27),
     invalid pairs get 27 (matches no cell).
@@ -137,6 +144,12 @@ def _pairwise_code(pr, pc, radius):
     the lower clamp: a valid pair has |rel_axis| <= r, so (rel+r)*inv >= 0;
     invalid pairs may produce arbitrary (even colliding) codes but are
     overwritten by the validity select before any compare sees them.
+
+    flip=True swaps the roles: rows are CANDIDATES and columns CENTERS
+    (the dX orientation).  rel is then row - col = candidate - center —
+    the SAME floats as the unflipped col - row (IEEE subtraction), so cell
+    codes match the forward bit-for-bit and gradients route through
+    exactly the cells the forward binned into.
     """
     r = jnp.float32(radius)
     inv = jnp.float32(3.0 / (2.0 * radius))
@@ -145,7 +158,7 @@ def _pairwise_code(pr, pc, radius):
     for a in range(3):
         pi = pr[:, a : a + 1]        # (TN, 1)
         pj = pc[a : a + 1, :]        # (1, TM)
-        rel = pj - pi                # (TN, TM)
+        rel = pi - pj if flip else pj - pi    # (TN, TM) candidate - center
         d2 = rel * rel if d2 is None else d2 + rel * rel
         c = jnp.minimum(jnp.floor((rel + r) * inv), 2.0)
         cell = c if cell is None else cell * 3.0 + c
@@ -153,13 +166,22 @@ def _pairwise_code(pr, pc, radius):
     return jnp.where(valid, cell, jnp.float32(N_CELLS))
 
 
-def _foreach_mask(pr, pc, spec, mmt, emit):
+def _foreach_mask(pr, pc, spec, mmt, emit, row_scale=None, col_scale=None,
+                  flip=False):
     """Call emit(k, plane) for each of the 27 binning planes, built LAZILY.
 
     Keeping at most a couple of (TN, TM) planes live between matmuls keeps
     VMEM pressure low.  The 'const' mode is a benchmarking ablation (all
     masks one — wrong results) that measures the kernel's MXU + pipeline
     floor with zero mask-construction cost.
+
+    row_scale (TN, 27) / col_scale (27, TM): optional per-row / per-column
+    scale folded INTO the select — plane_k = scale where code==k else 0.
+    Used by the dX kernels to apply the 1/count averaging without a
+    separate per-plane (T, Cout) VPU multiply of the gradient
+    (select-with-broadcast costs the same VPU ops as select-of-constant-1).
+    flip builds the planes candidates-as-rows (see _pairwise_code).
+    Ablation modes ignore scales (their results are wrong by construction).
     """
     import contextlib
 
@@ -170,15 +192,26 @@ def _foreach_mask(pr, pc, spec, mmt, emit):
         for k in range(spec.num_emit):
             emit(k, mk)
     elif spec.mask_mode == "scaled":  # ablation: 1 VPU mul/plane, wrong results
-        code = _pairwise_code(pr, pc, spec.radius)
+        code = _pairwise_code(pr, pc, spec.radius, flip=flip)
         for k in range(spec.num_emit):
             emit(k, (code * jnp.float32(0.5 + 0.25 * k)).astype(mmt))
     else:
         with scope("mask_code"):
-            code = _pairwise_code(pr, pc, spec.radius)
+            code = _pairwise_code(pr, pc, spec.radius, flip=flip)
         for k in range(spec.num_emit):
             with scope("mask_cmp"):
-                plane = (code == jnp.float32(k)).astype(mmt)
+                if row_scale is not None:
+                    plane = jnp.where(
+                        code == jnp.float32(k), row_scale[:, k : k + 1],
+                        jnp.float32(0.0),
+                    ).astype(mmt)
+                elif col_scale is not None:
+                    plane = jnp.where(
+                        code == jnp.float32(k), col_scale[k : k + 1, :],
+                        jnp.float32(0.0),
+                    ).astype(mmt)
+                else:
+                    plane = (code == jnp.float32(k)).astype(mmt)
             emit(k, plane)
 
 
@@ -453,17 +486,51 @@ def _dx_kernel_resident(pr_ref, pc_ref, g_ref, cnt_ref, wt_ref, dx_ref, *, spec)
     z = [jnp.zeros((tmo, spec.cout_p), jnp.float32) for _ in range(N_CELLS)]
     for i in range(spec.n_centers // tni):
         pr = pr_ref[0][i * tni : (i + 1) * tni]
-        g = g_ref[0][i * tni : (i + 1) * tni]               # (TNI, Coutp)
+        # 1/count averaging rides the mask select (row_scale) — one upstream
+        # cast per center tile instead of 27 per-plane (TNI, Coutp) VPU
+        # multiplies (measured on chip: 4.131 -> 4.026 ms at the bench
+        # config; the orientation flip below is the bigger lever).
+        gm = g_ref[0][i * tni : (i + 1) * tni].astype(mmt)  # (TNI, Coutp)
         cnts = cnt_ref[0][i * tni : (i + 1) * tni]          # (TNI, 27)
         inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)
 
-        def emit(k, plane, g=g, inv_cnt=inv_cnt):
-            gk = (g * inv_cnt[:, k : k + 1]).astype(mmt)
+        def emit(k, plane, gm=gm):
             z[k] = z[k] + jax.lax.dot_general(
-                plane, gk, (((0,), (0,)), ((), ())),
+                plane, gm, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
 
-        _foreach_mask(pr, pc, spec, mmt, emit)
+        _foreach_mask(pr, pc, spec, mmt, emit, row_scale=inv_cnt)
+    zcat = jnp.concatenate([t.astype(mmt) for t in z], axis=1)
+    wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
+    dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
+                        precision=prec)
+
+
+def _dx_kernel_resident_flip(pcr_ref, prt_ref, g_ref, cntt_ref, wt_ref,
+                             dx_ref, *, spec):
+    """Flipped resident dX: planes are built candidates-as-rows (flip=True)
+    so every walk matmul is a standard (TMO, TNI) @ (TNI, Coutp)
+    contraction — the exact MXU shape of the forward walk — instead of a
+    per-plane transposed dot_general.  The 1/count averaging rides the
+    mask select as a column broadcast (counts arrive pre-transposed)."""
+    pcr = pcr_ref[0]                 # (TMO, 3) candidates (dx targets, rows)
+    mmt = jnp.dtype(spec.mm_dtype)
+    prec = _mm_precision(mmt)
+    tni = spec.tile_m                # center tile size along the reduction
+    tmo = spec.tile_n
+    z = [jnp.zeros((tmo, spec.cout_p), jnp.float32) for _ in range(N_CELLS)]
+    for i in range(spec.n_centers // tni):
+        prt = prt_ref[0][:, i * tni : (i + 1) * tni]         # (3, TNI)
+        gm = g_ref[0][i * tni : (i + 1) * tni].astype(mmt)   # (TNI, Coutp)
+        invt = 1.0 / jnp.maximum(
+            cntt_ref[0][:, i * tni : (i + 1) * tni], 1.0)    # (27, TNI)
+
+        def emit(k, plane, gm=gm):
+            z[k] = z[k] + jnp.dot(plane, gm,
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+
+        _foreach_mask(pcr, prt, spec, mmt, emit, col_scale=invt, flip=True)
     zcat = jnp.concatenate([t.astype(mmt) for t in z], axis=1)
     wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
     dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
@@ -474,6 +541,28 @@ def _dx_call_resident(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
     tni, tmo = spec.tile_m, spec.tile_n
     wt = jnp.swapaxes(w, 1, 2)   # (27, Coutp, Cinp)
     grid = (spec.batch, spec.n_points // tmo)
+    if spec.dx_flip:
+        pcr = jnp.swapaxes(pts_c, 1, 2)      # (B, Nm, 3) candidates as rows
+        prt = jnp.swapaxes(pts_r, 1, 2)      # (B, 3, Nc) centers as columns
+        cntt = jnp.swapaxes(counts, 1, 2)    # (B, 27, Nc)
+        return pl.pallas_call(
+            functools.partial(_dx_kernel_resident_flip, spec=spec),
+            grid=grid,
+            in_specs=[
+                _vmem((1, tmo, 3), lambda b, jj: (b, jj, 0)),
+                _vmem((1, 3, spec.n_centers), lambda b, jj: (b, 0, 0)),
+                _vmem((1, spec.n_centers, spec.cout_p), lambda b, jj: (b, 0, 0)),
+                _vmem((1, N_CELLS, spec.n_centers), lambda b, jj: (b, 0, 0)),
+                _vmem((N_CELLS, spec.cout_p, spec.cin_p), lambda b, jj: (0, 0, 0)),
+            ],
+            out_specs=[
+                _vmem((1, tmo, spec.cin_p), lambda b, jj: (b, jj, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((spec.batch, spec.n_points, spec.cin_p), jnp.float32),
+            ],
+            interpret=spec.interpret,
+        )(pcr, prt, g, cntt, wt)[0]
     return pl.pallas_call(
         functools.partial(_dx_kernel_resident, spec=spec),
         grid=grid,
@@ -623,19 +712,59 @@ def _dx_kernel_csr(imap_ref, deg_ref, pr_ref, pc_ref, g_ref, cnt_ref, wt_ref,
 
     @pl.when(d < deg_ref[b, jj])
     def _():
-        g = g_ref[0]                 # (TNI, Coutp) upstream grads at centers
+        gm = g_ref[0].astype(mmt)    # (TNI, Coutp) upstream grads at centers
         cnts = cnt_ref[0]            # (TNI, 27) forward neighbor counts
         inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)        # (TNI, 27)
 
         def emit(k, plane):
-            gk = (g * inv_cnt[:, k : k + 1]).astype(mmt)
+            # 1/count rides the mask select (see _foreach_mask row_scale)
             z_ref[k] += jax.lax.dot_general(
-                plane, gk, (((0,), (0,)), ((), ())),
+                plane, gm, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_mm_precision(mmt),
             )
 
-        _foreach_mask(pr, pc, spec, mmt, emit)
+        _foreach_mask(pr, pc, spec, mmt, emit, row_scale=inv_cnt)
+
+    @pl.when(d == n_d - 1)
+    def _():
+        zcat = jnp.concatenate(
+            [z_ref[k].astype(mmt) for k in range(N_CELLS)], axis=1
+        )
+        wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
+        dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
+                            precision=_mm_precision(mmt))
+
+
+def _dx_kernel_csr_flip(imap_ref, deg_ref, pcr_ref, prt_ref, g_ref, cntt_ref,
+                        wt_ref, dx_ref, z_ref, *, spec):
+    """Flipped CSR dX (see _dx_kernel_resident_flip): planes built
+    candidates-as-rows so the walk matmuls are standard contractions;
+    centers/counts arrive transposed and are index-mapped on the last dim."""
+    b = pl.program_id(0)
+    jj = pl.program_id(1)
+    d = pl.program_id(2)
+    n_d = pl.num_programs(2)
+
+    @pl.when(d == 0)
+    def _():
+        z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
+
+    pcr = pcr_ref[0]                 # (TMO, 3) candidates (dx targets, rows)
+    prt = prt_ref[0]                 # (3, TNI) centers (cols)
+    mmt = jnp.dtype(spec.mm_dtype)
+
+    @pl.when(d < deg_ref[b, jj])
+    def _():
+        gm = g_ref[0].astype(mmt)    # (TNI, Coutp) upstream grads at centers
+        invt = 1.0 / jnp.maximum(cntt_ref[0], 1.0)    # (27, TNI)
+
+        def emit(k, plane):
+            z_ref[k] += jnp.dot(plane, gm,
+                                preferred_element_type=jnp.float32,
+                                precision=_mm_precision(mmt))
+
+        _foreach_mask(pcr, prt, spec, mmt, emit, col_scale=invt, flip=True)
 
     @pl.when(d == n_d - 1)
     def _():
@@ -651,6 +780,36 @@ def _dx_call_csr(spec: PwConvSpec, imap, deg, pts_r, pts_c, g, counts, wt):
     tni, tmo = spec.tile_m, spec.tile_n
     dm = imap.shape[-1]
     _TRACE_COUNTS["dx_csr"] += 1
+    if spec.dx_flip:
+        pcr = jnp.swapaxes(pts_c, 1, 2)      # (B, Nm, 3) candidates as rows
+        prt = jnp.swapaxes(pts_r, 1, 2)      # (B, 3, Nc) centers as columns
+        cntt = jnp.swapaxes(counts, 1, 2)    # (B, 27, Nc)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(spec.batch, spec.n_points // tmo, dm),
+            in_specs=[
+                _vmem((1, tmo, 3), lambda b, jj, d, im, dg: (b, jj, 0)),
+                _vmem((1, 3, tni), lambda b, jj, d, im, dg: (b, 0, im[b, jj, d])),
+                _vmem((1, tni, spec.cout_p),
+                      lambda b, jj, d, im, dg: (b, im[b, jj, d], 0)),
+                _vmem((1, N_CELLS, tni),
+                      lambda b, jj, d, im, dg: (b, 0, im[b, jj, d])),
+                _vmem((N_CELLS, spec.cout_p, spec.cin_p),
+                      lambda b, jj, d, im, dg: (0, 0, 0)),
+            ],
+            out_specs=[
+                _vmem((1, tmo, spec.cin_p), lambda b, jj, d, im, dg: (b, jj, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((N_CELLS, tmo, spec.cout_p), jnp.float32)],
+        )
+        return pl.pallas_call(
+            functools.partial(_dx_kernel_csr_flip, spec=spec),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((spec.batch, spec.n_points, spec.cin_p), jnp.float32),
+            ],
+            interpret=spec.interpret,
+        )(imap, deg, pcr, prt, g, cntt, wt)[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(spec.batch, spec.n_points // tmo, dm),
@@ -726,25 +885,62 @@ def _dx_kernel(pr_ref, pc_ref, g_ref, cnt_ref, wt_ref, dx_ref, z_ref, *, spec):
 
     @pl.when(_tiles_overlap(pr, pc, spec.radius))
     def _():
-        g = g_ref[0]                 # (TNI, Coutp) upstream grads at centers
+        gm = g_ref[0].astype(mmt)    # (TNI, Coutp) upstream grads at centers
         cnts = cnt_ref[0]            # (TNI, 27) forward neighbor counts
         inv_cnt = 1.0 / jnp.maximum(cnts, 1.0)        # (TNI, 27)
 
         def emit(k, plane):
-            gk = (g * inv_cnt[:, k : k + 1]).astype(mmt)
-            # (TMO, Coutp) += M_k^T @ gk, contracting the center dim.
+            # (TMO, Coutp) += M'_k^T @ g, contracting the center dim; the
+            # 1/count averaging rides the mask select (row_scale).
             z_ref[k] += jax.lax.dot_general(
-                plane, gk, (((0,), (0,)), ((), ())),
+                plane, gm, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_mm_precision(mmt),
             )
 
-        _foreach_mask(pr, pc, spec, mmt, emit)
+        _foreach_mask(pr, pc, spec, mmt, emit, row_scale=inv_cnt)
 
     @pl.when(i == n_i - 1)
     def _():
         # one (TMO, 27*Coutp) @ (27*Coutp, Cinp) matmul; wt is pre-transposed
         # (27, Coutp, Cinp) by the caller.
+        zcat = jnp.concatenate(
+            [z_ref[k].astype(mmt) for k in range(N_CELLS)], axis=1
+        )
+        wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
+        dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
+                            precision=_mm_precision(mmt))
+
+
+def _dx_kernel_flip(pcr_ref, prt_ref, g_ref, cntt_ref, wt_ref, dx_ref, z_ref,
+                    *, spec):
+    """Flipped grid dX (see _dx_kernel_resident_flip): planes built
+    candidates-as-rows; centers/counts arrive transposed."""
+    i = pl.program_id(2)             # center-tile index (inner/reduction dim)
+    n_i = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
+
+    pcr = pcr_ref[0]                 # (TMO, 3) candidates (dx targets, rows)
+    prt = prt_ref[0]                 # (3, TNI) centers (cols)
+    mmt = jnp.dtype(spec.mm_dtype)
+
+    @pl.when(_tiles_overlap(pcr, prt, spec.radius))
+    def _():
+        gm = g_ref[0].astype(mmt)    # (TNI, Coutp) upstream grads at centers
+        invt = 1.0 / jnp.maximum(cntt_ref[0], 1.0)    # (27, TNI)
+
+        def emit(k, plane):
+            z_ref[k] += jnp.dot(plane, gm,
+                                preferred_element_type=jnp.float32,
+                                precision=_mm_precision(mmt))
+
+        _foreach_mask(pcr, prt, spec, mmt, emit, col_scale=invt, flip=True)
+
+    @pl.when(i == n_i - 1)
+    def _():
         zcat = jnp.concatenate(
             [z_ref[k].astype(mmt) for k in range(N_CELLS)], axis=1
         )
@@ -1035,6 +1231,30 @@ def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
     tni, tmo = spec.tile_m, spec.tile_n
     wt = jnp.swapaxes(w, 1, 2)   # (27, Coutp, Cinp) for the finalize matmul
     grid = (spec.batch, spec.n_points // tmo, spec.n_centers // tni)
+    if spec.dx_flip:
+        pcr = jnp.swapaxes(pts_c, 1, 2)      # (B, Nm, 3) candidates as rows
+        prt = jnp.swapaxes(pts_r, 1, 2)      # (B, 3, Nc) centers as columns
+        cntt = jnp.swapaxes(counts, 1, 2)    # (B, 27, Nc)
+        return pl.pallas_call(
+            functools.partial(_dx_kernel_flip, spec=spec),
+            grid=grid,
+            in_specs=[
+                _vmem((1, tmo, 3), lambda b, jj, ii: (b, jj, 0)),
+                _vmem((1, 3, tni), lambda b, jj, ii: (b, 0, ii)),
+                _vmem((1, tni, spec.cout_p), lambda b, jj, ii: (b, ii, 0)),
+                _vmem((1, N_CELLS, tni), lambda b, jj, ii: (b, 0, ii)),
+                _vmem((N_CELLS, spec.cout_p, spec.cin_p),
+                      lambda b, jj, ii: (0, 0, 0)),
+            ],
+            out_specs=[
+                _vmem((1, tmo, spec.cin_p), lambda b, jj, ii: (b, jj, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((spec.batch, spec.n_points, spec.cin_p), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((N_CELLS, tmo, spec.cout_p), jnp.float32)],
+            interpret=spec.interpret,
+        )(pcr, prt, g, cntt, wt)[0]
     return pl.pallas_call(
         functools.partial(_dx_kernel, spec=spec),
         grid=grid,

@@ -23,7 +23,12 @@ axon profiler plugin DROPS in-kernel trace marks at every exposed option
 tpu_ultra_low_overhead, host_tracer_level=3 — all 0 tagged events).  Kept
 for stacks whose profiler surfaces level-10 marks.
 
-Usage: python scripts/attribute_fwd_kernel.py [--marks] [cin] [iters]
+Backward attribution (``--bwd``): times grad-w-only / grad-f-only / full
+gradient programs on the device plane — dW and dX are independent
+pallas_calls inside the custom VJP, so jaxpr DCE isolates each kernel —
+and reports each against the shared pure-MXU walk ideal.
+
+Usage: python scripts/attribute_fwd_kernel.py [--marks|--bwd] [cin] [iters]
 """
 import collections
 import glob
@@ -162,6 +167,75 @@ def sweep(cin, iters):
           f"(= the executed-utilization reading)")
 
 
+def _make_grad_fn(pts, feats, w, wrt, **spec_overrides):
+    """jit'd grad of sum(conv**2) w.r.t. 'w', 'f', or 'both'.
+
+    dW and dX are independent pallas_calls inside the custom VJP, so jaxpr
+    DCE drops the one whose cotangent is unused — grad-w programs run
+    fwd + dW only, grad-f programs fwd + dX only (cross-checked below:
+    t(grad_w) + t(grad_f) - t(fwd) must reproduce t(grad_both))."""
+    orig_spec = opmod.PwConvSpec
+
+    def patched(*a, **kw):
+        kw["resident"] = True
+        kw.update(spec_overrides)
+        return orig_spec(*a, **kw)
+
+    def loss(f, w_):
+        y = pointwise_conv(pts, f, w_, None, radius=RADIUS,
+                           precision="bfloat16")
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    argnums = {"f": 0, "w": 1, "both": (0, 1)}[wrt]
+    opmod.PwConvSpec = patched
+    try:
+        fn = jax.jit(jax.grad(loss, argnums=argnums))
+        sync(fn(feats, w))
+        return fn
+    finally:
+        opmod.PwConvSpec = orig_spec
+
+
+def bwd(cin, iters):
+    """Backward (dW/dX) attribution — mirrors the forward sweep.
+
+    Both gradient kernels re-run the 27-plane candidate walk (dW rebuilds
+    the cell sums, dX builds Z_k = M_k^T (g/cnt_k)), so each has the same
+    pure-MXU walk ideal as the forward, plus one finalize-shaped matmul
+    (xcat^T @ g for dW, zcat @ W^T for dX)."""
+    cout = cin
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    pts = jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1)
+    feats = jax.random.normal(k[1], (B, N, cin))
+    w = jax.random.normal(k[2], (27, cin, cout)) * 0.1
+
+    cin_p = 128
+    per_plane_tf = 2 * B * N * N * cin_p / 1e12
+    finalize_tf = 2 * B * N * (27 * cin_p) * 128 / 1e12
+    kernel_ideal = (27 * per_plane_tf + finalize_tf) / NOMINAL_TF * 1e15
+
+    fwd = _make_fn(pts, feats, w)
+    t_fwd, _, _ = _detail(fwd, feats, w, iters)
+    grads = {}
+    for wrt in ("w", "f", "both"):
+        fn = _make_grad_fn(pts, feats, w, wrt)
+        prog, kern, stage = _detail(fn, feats, w, iters)
+        grads[wrt] = prog
+        print(f"  grad_{wrt:4s}: program {prog:7.3f} ms, pallas kernels "
+              f"{kern:7.3f} ms, staging issued {stage:6.3f} ms")
+    t_dw = grads["w"] - t_fwd
+    t_dx = grads["f"] - t_fwd
+    recon = t_fwd + t_dw + t_dx
+    print(f"\nfwd {t_fwd:.3f} ms | dW {t_dw:.3f} ms | dX {t_dx:.3f} ms "
+          f"(each vs kernel ideal {kernel_ideal:.3f} ms: "
+          f"fwd {kernel_ideal/t_fwd:.3f}, dW {kernel_ideal/t_dw:.3f}, "
+          f"dX {kernel_ideal/t_dx:.3f})")
+    print(f"DCE cross-check: fwd+dW+dX = {recon:.3f} ms vs grad_both "
+          f"{grads['both']:.3f} ms (ratio {recon/grads['both']:.3f})")
+    print(f"fwd+bwd executed utilization vs nominal: "
+          f"{3*kernel_ideal/grads['both']:.3f}")
+
+
 def marks(cin, iters):
     k = jax.random.split(jax.random.PRNGKey(0), 3)
     pts = jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1)
@@ -220,6 +294,8 @@ def main():
     iters = int(args[1]) if len(args) > 1 else 8
     if "--marks" in sys.argv:
         marks(cin, iters)
+    elif "--bwd" in sys.argv:
+        bwd(cin, iters)
     else:
         sweep(cin, iters)
 
