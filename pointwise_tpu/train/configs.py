@@ -105,6 +105,14 @@ _REGISTRY = {
         name="seg_tiny_local", num_classes=5, batch_size=4, num_points=256,
         global_context=False, log_every=1, eval_every=10_000,
     ),
+    # tiny locality-only streaming config (CI: infer --serve subprocess runs
+    # on the CPU backend — reference impl + 8-wide trunk keep compiles fast)
+    "seg_tiny_stream": SegmentationConfig(
+        name="seg_tiny_stream", num_classes=5, batch_size=2, num_points=256,
+        channels=(8, 8), radii=(0.25, 0.5), head_dims=(16,), dropout=0.0,
+        impl="reference", global_context=False,
+        log_every=1, eval_every=10_000, checkpoint_every=10_000,
+    ),
     # tiny classification config (CI: CLI resume/metric determinism runs)
     "cls_tiny": ClassificationConfig(
         name="cls_tiny", num_classes=4, num_points=64, batch_size=8,

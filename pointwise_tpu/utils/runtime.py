@@ -19,7 +19,28 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".jax_cache")
 
 
+def honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS``/``JAX_PLATFORM_NAME`` actually work.
+
+    The axon TPU plugin IGNORES both env vars (re-verified round 4: a
+    subprocess with JAX_PLATFORMS=cpu still initialized the 'axon'
+    platform); only the ``jax_platforms`` config flag is respected.  The
+    CLIs honor the env explicitly so subprocess CI runs really stay on the
+    CPU backend instead of silently dispatching to the tunneled chip —
+    which is both a hermeticity bug and, in degraded-tunnel hours, a hang.
+    No-op once a backend exists (the config update raises then).
+    """
+    plats = os.environ.get("JAX_PLATFORMS") or os.environ.get(
+        "JAX_PLATFORM_NAME")
+    if plats:
+        try:
+            jax.config.update("jax_platforms", plats.lower())
+        except Exception:
+            pass
+
+
 def enable_compile_cache(path: str | None = None) -> None:
+    honor_platform_env()
     try:
         jax.config.update("jax_compilation_cache_dir", path or _CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
