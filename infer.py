@@ -174,9 +174,13 @@ def serve(args, cfg, model, params):
 
 
 def main():
+    from pointwise_tpu.parallel import init_distributed
     from pointwise_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
+    if init_distributed():   # multi-host pods; no-op without a coordinator
+        print(f"# distributed: process {jax.process_index()}"
+              f"/{jax.process_count()}", flush=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="s3dis_synthetic")
     ap.add_argument("--data-dir", default=None)

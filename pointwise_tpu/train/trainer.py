@@ -328,10 +328,29 @@ class Trainer:
             out_shardings=(repl, repl),
         )
 
+    def _promote_batch(self, batch):
+        """Multi-host feeding: promote per-process host arrays to global
+        ``jax.Array``s matching the step's batch shardings.  Under
+        ``parallel.init_distributed()`` each process loads only its slice of
+        the global batch; the jitted step's in_shardings describe the GLOBAL
+        array.  No-op single-process or mesh-less (jit shards plain host
+        arrays directly), so every caller stays pod-ready for free.
+        """
+        if self.mesh is None or jax.process_count() == 1:
+            return batch
+        import numpy as np
+
+        mk = jax.make_array_from_process_local_data
+        sh = self.batch_sharding
+        if isinstance(sh, dict):
+            return {k: mk(sh[k], np.asarray(v)) for k, v in batch.items()}
+        return jax.tree.map(lambda a: mk(sh, np.asarray(a)), batch)
+
     def step(self, batch, rng):
         if self._train_step is None:
             self._build_spmd_steps(batch)
-        self.state, metrics = self._train_step(self.state, batch, rng)
+        self.state, metrics = self._train_step(
+            self.state, self._promote_batch(batch), rng)
         return metrics
 
     def evaluate(self, batches, rng, weight_fn=None):
@@ -356,7 +375,7 @@ class Trainer:
         for batch in batches:
             if self._eval_step is None:
                 self._build_spmd_steps(batch)
-            out = self._eval_step(self.state, batch, rng)
+            out = self._eval_step(self.state, self._promote_batch(batch), rng)
             if self.space_axis is not None:
                 m, w = jax.device_get(out)
                 w = float(w)

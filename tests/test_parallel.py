@@ -585,3 +585,19 @@ def test_spmd_classifier_dropout_consistent_across_space_shards():
                     jax.tree.leaves(jax.device_get(t_sp.state.params))):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_multihost_helpers_single_process_noop():
+    # Multi-host entry points (parallel/mesh.py): in a single-process
+    # environment init_distributed must refuse to probe (no coordinator
+    # configured -> False, no hang) and batch promotion must be the
+    # identity, so the same training loop is pod-ready for free.
+    from pointwise_tpu.parallel import (host_local_batch_to_global,
+                                        init_distributed, make_mesh)
+
+    assert init_distributed() is False
+    mesh = make_mesh()
+    batch = {"points": np.zeros((8, 16, 3), np.float32),
+             "label": np.arange(8)}
+    out = host_local_batch_to_global(mesh, batch)
+    assert out is batch
