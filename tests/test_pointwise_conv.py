@@ -180,6 +180,22 @@ def test_center_permutation_equivariance():
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y[:, perm]), rtol=2e-4, atol=2e-5)
 
 
+def test_translation_invariance():
+    # The op depends on points only through relative offsets p_j - p_i, so a
+    # rigid translation must not change outputs (up to fp rounding of the
+    # subtraction).  The streaming engine's tile recentering
+    # (streaming._stage) RELIES on this property for exactness.
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(12), b=1, n=64)
+    for impl in ("reference", "pallas"):
+        y = pointwise_conv(pts, feats, w, bias, radius=0.5, impl=impl)
+        for t in ((3.25, -1.5, 0.75), (-40.0, 17.0, 9.5)):
+            y_t = pointwise_conv(pts + jnp.asarray(t), feats, w, bias,
+                                 radius=0.5, impl=impl)
+            np.testing.assert_allclose(np.asarray(y_t), np.asarray(y),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"{impl} t={t}")
+
+
 def test_separate_centers():
     # centers != points: used by halo/spatial sharding paths.
     key = jax.random.PRNGKey(11)
