@@ -211,9 +211,7 @@ def bench_streaming(n_points=200_000, passes=2):
 
     cfg = get_config("s3dis_synthetic")
     xyz, rgb, _ = infer_cli.big_scene(n_points, num_classes=cfg.num_classes)
-    mins = xyz.min(0)
-    span = np.maximum(xyz.max(0) - mins, 1e-6)
-    feats = np.concatenate([rgb, (xyz - mins) / span], axis=1)
+    feats = infer_cli.scene_features(cfg, xyz, rgb)   # one feature contract
     model = PointwiseSegmenter(
         num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
         head_dims=cfg.head_dims, dropout_rate=cfg.dropout, norm=cfg.norm,
@@ -337,7 +335,10 @@ def bench_conv_op(B=64, N=1024, cin=64, cout=64, radius=0.5,
         "t_fwd_wall_ms": t_fwd * 1e3,
         "t_fwdbwd_wall_ms": t_bwd * 1e3,
         "dispatch_ms": dispatch_s * 1e3,
-        "timing_source": "device" if t_fwd_dev else "wall",
+        # per-pass: a tunnel stall can fail ONE trace, silently demoting
+        # that pass to the 1.5-1.7x-inflated wall reading
+        "timing_source": ("device" if (t_fwd_dev and t_bwd_dev) else
+                          "mixed" if (t_fwd_dev or t_bwd_dev) else "wall"),
         "mxu_util_fwd_nominal": flops_fwd / t_fwd_best / nominal,
         "mxu_util_fwd_useful": flops_fwd_u / t_fwd_best / nominal,
         "mxu_util_fwdbwd_nominal": 3 * flops_fwd / t_bwd_best / nominal,

@@ -116,11 +116,26 @@ def serve(args, cfg, model, params):
     def apply_layered(pts, fts, cnt, sels, skips, lengths):
         return apply_layered_p(params, pts, fts, cnt, sels, skips, lengths)
 
+    # same mesh wiring as the one-shot path: tile batches over 'data'
+    # (--dp), resident scene rows over 'space' (--sp) — a serving host with
+    # several chips must not silently run single-device
+    mesh = None
+    scene_axis = None
+    if args.dp or args.sp > 1:
+        from pointwise_tpu.parallel import make_mesh
+
+        mesh = make_mesh(space=args.sp)
+        print(f"# tile batches over data:{mesh.shape['data']}"
+              + (f", scene rows over space:{args.sp}"
+                 if args.sp > 1 else ""), flush=True)
+        scene_axis = "space" if args.sp > 1 else None
+
     def run(xyz, feats):
         out = stream_apply_layered(
             apply_layered, xyz, feats, radii=cfg.radii,
             tile_size=args.tile_size, out_dim=cfg.num_classes,
             tile_batch=args.tile_batch, length_profiles=profiles,
+            mesh=mesh, scene_axis=scene_axis,
         )
         save_profiles(args.profile_file, profiles)
         return out
@@ -239,6 +254,9 @@ def main():
         print(f"# restored step {step}", flush=True)
 
     if args.serve:
+        if not args.layered:
+            raise SystemExit("--serve supports only the layered engine "
+                             "(drop --no-layered)")
         return serve(args, cfg, model, params)
 
     if args.data_dir:

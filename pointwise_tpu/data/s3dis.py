@@ -26,7 +26,7 @@ from typing import Iterator
 import numpy as np
 
 from pointwise_tpu.data import synthetic
-from pointwise_tpu.utils.spatial import morton_code
+from pointwise_tpu.utils.spatial import check_coordinates, morton_code
 
 
 def load_rooms(data_dir: str | None, *, synthetic_rooms: int = 4, seed: int = 0):
@@ -37,8 +37,6 @@ def load_rooms(data_dir: str | None, *, synthetic_rooms: int = 4, seed: int = 0)
             arr = np.load(f)
             if arr.ndim != 2 or arr.shape[1] < 7:
                 continue
-            from pointwise_tpu.utils.spatial import check_coordinates
-
             xyz = check_coordinates(arr[:, 0:3].astype(np.float32), name=f)
             rgb = arr[:, 3:6].astype(np.float32)
             if rgb.max() > 1.5:

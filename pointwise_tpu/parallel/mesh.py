@@ -47,22 +47,24 @@ def init_distributed(**kwargs) -> bool:
     Call ONCE per host process, before ``make_mesh()`` and before any other
     jax use.  When a coordinator is configured — explicitly via kwargs
     (``coordinator_address=…, num_processes=…, process_id=…``) or through
-    the standard env contract (``JAX_COORDINATOR_ADDRESS`` /
-    ``COORDINATOR_ADDRESS``, with jax auto-detecting the rest on Cloud TPU
-    pods) — this initializes the jax distributed runtime, after which
-    ``jax.devices()`` spans every host and the SAME Mesh/Trainer/streaming
-    code runs unchanged: GSPMD keeps intra-slice collectives on ICI and
-    emits DCN collectives across slices.  Feed per-host data through
-    :func:`host_local_batch_to_global`.
+    jax's own env contract (``JAX_COORDINATOR_ADDRESS``, plus
+    ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` where the platform cannot
+    auto-detect them) — this initializes the jax distributed runtime, after
+    which ``jax.devices()`` spans every host and the SAME
+    Mesh/Trainer/streaming code runs unchanged: GSPMD keeps intra-slice
+    collectives on ICI and emits DCN collectives across slices.  Feed
+    per-host data through :func:`host_local_batch_to_global`.
 
     Returns True when distributed mode was initialized, False when no
     coordinator is configured (single-process environments — a no-op, so
-    CLIs can call it unconditionally).  Deliberately does NOT probe cloud
-    metadata when unconfigured: that hangs in air-gapped environments.
+    CLIs can call it unconditionally).  Deliberately keyed on jax's OWN env
+    name, not a generic ``COORDINATOR_ADDRESS`` (an unrelated service
+    exporting that must not make the CLIs dial out), and deliberately does
+    NOT probe cloud metadata when unconfigured: that hangs in air-gapped
+    environments.
     """
     if not (kwargs.get("coordinator_address")
-            or os.environ.get("JAX_COORDINATOR_ADDRESS")
-            or os.environ.get("COORDINATOR_ADDRESS")):
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
         return False
     jax.distributed.initialize(**kwargs)
     return True

@@ -380,8 +380,12 @@ def stream_apply_layered(
             # one ladder step of padding); on a miss the entry is merged
             # UP (elementwise max of pad_len values is a pad_len value), so
             # the program set converges monotonically across requests.
+            # A stale entry from a DIFFERENT config (other radii -> other
+            # schedule length, other tbs) must be replaced, not merged — a
+            # short tuple would otherwise crash the packer mid-serve.
             prof = length_profiles.get(b)
-            if prof is not None and prof[0] == tbs:
+            if (prof is not None and prof[0] == tbs
+                    and len(prof[1]) == len(lengths)):
                 lengths = tuple(max(int(p), l)
                                 for p, l in zip(prof[1], lengths))
             length_profiles[b] = (tbs, lengths)
@@ -464,7 +468,9 @@ def stream_apply_layered(
                     interiors = [c[1] for c in chunk]
                     q.put((b, lengths, cand_h, ctr_h, cnt, sels, skips,
                            interiors))
-        finally:
+        except BaseException as e:   # surface packer failures in the caller
+            q.put(e)                 # (a bare sentinel would silently return
+        else:                        # a zero-filled output array)
             q.put(None)
 
     q: queue_mod.Queue = queue_mod.Queue(maxsize=3)
@@ -474,6 +480,8 @@ def stream_apply_layered(
         item = q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            raise item
         b, lengths, cand_h, ctr_h, cnt, sels, skips, interiors = item
         warm_done[b].wait()   # group's programs traced by the warm thread
         # async: stage (device gather) + dispatch while the previous chunk

@@ -271,3 +271,45 @@ def test_streaming_bucket_ladder_invariance():
                      tile_batch=2, **kw)
     b = stream_apply(apply_fn, xyz, rgb, buckets=(2048,), tile_batch=1, **kw)
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_layered_stale_profile_replaced():
+    # A persisted profile entry written by a DIFFERENT config (other radii
+    # -> other schedule length) must be REPLACED on load, not merged: a
+    # too-short lengths tuple once crashed the packer thread mid-serve,
+    # and the bare queue sentinel made stream_apply_layered return
+    # all-zero logits with no exception.
+    import functools
+
+    from pointwise_tpu.models import PointwiseSegmenter
+    from pointwise_tpu.streaming import stream_apply_layered
+
+    radii = (0.25, 0.5)
+    model = PointwiseSegmenter(
+        num_classes=5, channels=(8, 8), radii=radii, head_dims=(16,),
+        impl="reference", dropout_rate=0.0, use_global_context=False,
+    )
+    xyz, rgb, _ = synthetic.segmentation_scene(4, num_objects=3,
+                                               points_per_obj=128)
+    params = jax.jit(
+        lambda r: model.init(r, jnp.asarray(xyz[None]), jnp.asarray(rgb[None]),
+                             jnp.ones((1, len(xyz))), train=False)
+    )(jax.random.PRNGKey(0))["params"]
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def apply_layered(pts, fts, cnt, sels, skips, lengths):
+        return model.apply({"params": params}, pts, fts, cnt, sels, skips,
+                           lengths=lengths, method="streaming_logits")
+
+    kw = dict(radii=radii, tile_size=2.0, out_dim=5,
+              buckets=(256, 512, 1024), tile_batch=2)
+    fresh: dict = {}
+    want = stream_apply_layered(apply_layered, xyz, rgb,
+                                length_profiles=fresh, **kw)
+    # stale entries: matching tbs but a 1-layer schedule (len 2 != L+1 = 3)
+    profiles = {b: (2, (int(b), int(b))) for b in (256, 512, 1024)}
+    got = stream_apply_layered(apply_layered, xyz, rgb,
+                               length_profiles=profiles, **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    for b in fresh:   # every bucket this scene touched was replaced whole
+        assert len(profiles[b][1]) == len(radii) + 1, (b, profiles[b])

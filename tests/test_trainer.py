@@ -245,3 +245,28 @@ def test_restore_model_state_fallback(tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(t1.state.params)),
                     jax.tree.leaves(jax.device_get(t2.state.params))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_weight_fn_override():
+    # evaluate()'s heuristic weights per-batch means by sum(mask) whenever a
+    # mask key exists — only correct for per-point masked means.  A
+    # per-CLOUD metric must override the weight with weight_fn (the
+    # documented escape hatch); this pins both arms of that contract.
+    def loss_fn(params, batch, rng, train):
+        return jnp.zeros(()), {"v": jnp.mean(batch["v"])}
+
+    tr = Trainer(loss_fn, {"w": jnp.zeros(())}, OptimizerConfig(),
+                 donate=False)
+    batches = [
+        {"v": np.full((2,), 1.0, np.float32),
+         "mask": np.ones((2, 7), np.float32)},
+        {"v": np.full((6,), 4.0, np.float32),
+         "mask": np.ones((6, 1), np.float32)},
+    ]
+    # mask heuristic: weights 14 vs 6 -> (1*14 + 4*6)/20
+    m = tr.evaluate(iter(batches), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(m["v"], 1.9, rtol=1e-6)
+    # per-cloud override: weights 2 vs 6 -> (1*2 + 4*6)/8
+    m = tr.evaluate(iter(batches), jax.random.PRNGKey(0),
+                    weight_fn=lambda b: len(b["v"]))
+    np.testing.assert_allclose(m["v"], 3.25, rtol=1e-6)
