@@ -196,7 +196,7 @@ def _make_grad_fn(pts, feats, w, wrt, **spec_overrides):
         opmod.PwConvSpec = orig_spec
 
 
-def bwd(cin, iters):
+def bwd(cin, iters, dx_flip=False):
     """Backward (dW/dX) attribution — mirrors the forward sweep.
 
     Both gradient kernels re-run the 27-plane candidate walk (dW rebuilds
@@ -218,7 +218,7 @@ def bwd(cin, iters):
     t_fwd, _, _ = _detail(fwd, feats, w, iters)
     grads = {}
     for wrt in ("w", "f", "both"):
-        fn = _make_grad_fn(pts, feats, w, wrt)
+        fn = _make_grad_fn(pts, feats, w, wrt, dx_flip=dx_flip)
         prog, kern, stage = _detail(fn, feats, w, iters)
         grads[wrt] = prog
         print(f"  grad_{wrt:4s}: program {prog:7.3f} ms, pallas kernels "
@@ -295,7 +295,8 @@ def main():
     if "--marks" in sys.argv:
         marks(cin, iters)
     elif "--bwd" in sys.argv:
-        bwd(cin, iters)
+        # --flip: the dx_flip on-chip A/B (GOLDEN round-4 backward section)
+        bwd(cin, iters, dx_flip="--flip" in sys.argv)
     else:
         sweep(cin, iters)
 
