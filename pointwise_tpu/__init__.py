@@ -23,3 +23,30 @@ Layer map (SURVEY.md section 1):
 __version__ = "0.1.0"
 
 from pointwise_tpu.ops.pointwise_conv import pointwise_conv  # noqa: F401
+
+# The rest of the user-facing surface resolves lazily: models pull in flax
+# and the trainer pulls in optax/orbax, which library users of the bare op
+# should not pay import time for.
+_LAZY = {
+    "PointwiseClassifier": "pointwise_tpu.models",
+    "PointwiseSegmenter": "pointwise_tpu.models",
+    "ShapeNetPartSegmenter": "pointwise_tpu.models",
+    "Trainer": "pointwise_tpu.train.trainer",
+    "stream_apply": "pointwise_tpu.streaming",
+    "stream_apply_layered": "pointwise_tpu.streaming",
+    "make_mesh": "pointwise_tpu.parallel",
+    "init_distributed": "pointwise_tpu.parallel",
+    "host_local_batch_to_global": "pointwise_tpu.parallel",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
