@@ -19,14 +19,27 @@ import jax
 def prefetch_to_device(
     it: Iterable[dict], size: int = 2, sharding=None
 ) -> Iterator[dict]:
-    """Stage ``size`` batches ahead on device (or with ``sharding``)."""
+    """Stage ``size`` batches ahead on device (or with ``sharding``).
+
+    ``sharding`` may be a sharding (pytree of shardings matching the batch),
+    or a zero-arg callable returning one — re-read per batch, so callers
+    whose shardings are built lazily (Trainer's SPMD batch specs appear at
+    the first step) stage straight to the right placement from then on.
+    Staging to the default device under a mesh still works, but pays an
+    extra device-to-device scatter at dispatch.
+    """
     queue = collections.deque()
     it = iter(it)
 
     def put(batch):
-        if sharding is None:
+        sh = sharding() if callable(sharding) else sharding
+        if sh is not None and jax.process_count() > 1:
+            # a GLOBAL sharding cannot be fed from per-process host data
+            # here; Trainer._promote_batch assembles the global array
+            sh = None
+        if sh is None:
             return jax.device_put(batch)
-        return jax.device_put(batch, sharding)
+        return jax.device_put(batch, sh)
 
     for batch in itertools.islice(it, size):
         queue.append(put(batch))

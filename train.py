@@ -59,7 +59,10 @@ def run_train_loop(trainer, cfg, args, *, make_epoch_iter, steps_per_epoch,
         if skip:
             it = itertools.islice(it, skip, None)
         step_at_entry = step
-        for batch in pipeline.prefetch_to_device(it):
+        # lazy sharding: the Trainer's batch shardings exist after the first
+        # step; from then on batches stage straight to their mesh placement
+        for batch in pipeline.prefetch_to_device(
+                it, sharding=lambda: getattr(trainer, "batch_sharding", None)):
             rs = jax.random.fold_in(rng_base, step)
             metrics = trainer.step(batch, rs)
             step += 1
