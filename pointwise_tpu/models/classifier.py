@@ -59,10 +59,13 @@ class PointwiseClassifier(nn.Module):
             nn.remat(PointwiseConvBlock, static_argnums=(4,))
             if self.remat else PointwiseConvBlock
         )
-        for c, r in zip(self.channels, self.radii):
+        for i, (c, r) in enumerate(zip(self.channels, self.radii)):
+            # name pinned so checkpoints survive toggling remat (the remat
+            # wrapper changes the auto-generated scope name otherwise)
             x = block_cls(c, r, impl=self.impl, norm=self.norm,
                           precision=self.precision,
-                          bn_axes=tuple(self.bn_axes))(
+                          bn_axes=tuple(self.bn_axes),
+                          name=f"PointwiseConvBlock_{i}")(
                 points, x, mask, train
             )
         h = masked_pool(x, mask, tuple(self.context_axes) or None)   # (B, 2C)

@@ -50,6 +50,65 @@ class PointwiseConv(nn.Module):
         )
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose batch moments IGNORE masked (padding) rows.
+
+    ``nn.BatchNorm`` reduces over every non-feature dim, so zeroed padding
+    rows drag the moments toward zero in proportion to the padding fraction
+    (two batches with the same real points but different pad lengths
+    normalize differently).  The shipped block pipelines resample tails
+    instead of padding (mask is all ones there), but user-built padded
+    batches must normalize by masked statistics.
+
+    Variable layout is nn.BatchNorm-compatible (params ``scale``/``bias``,
+    batch_stats ``mean``/``var``) and the block below pins the submodule
+    name, so checkpoints are interchangeable with the previous
+    nn.BatchNorm.  ``axis_names``: mesh axes to psum the moment sums over
+    (inside shard_map — the SPMD analog of nn.BatchNorm's ``axis_name``).
+    """
+
+    use_running_average: bool
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    axis_names: tuple = ()
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        import jax
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            m = (jnp.ones(x.shape[:-1], jnp.float32) if mask is None
+                 else mask.astype(jnp.float32))[..., None]
+            red = tuple(range(x.ndim - 1))
+            cnt = jnp.sum(m, red)
+            s = jnp.sum(xf * m, red)
+            s2 = jnp.sum(xf * xf * m, red)
+            for ax in self.axis_names:
+                cnt = jax.lax.psum(cnt, ax)
+                s = jax.lax.psum(s, ax)
+                s2 = jax.lax.psum(s2, ax)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s / cnt
+            var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
 class PointwiseConvBlock(nn.Module):
     """conv -> norm -> activation, the trunk unit of all reference nets."""
 
@@ -76,8 +135,12 @@ class PointwiseConvBlock(nn.Module):
         if self.norm == "layer":
             y = nn.LayerNorm()(y)
         elif self.norm == "batch":
-            y = nn.BatchNorm(use_running_average=not train,
-                             axis_name=tuple(self.bn_axes) or None)(y)
+            # name pinned to nn.BatchNorm's auto-name: checkpoints trained
+            # with the pre-masked-moments BatchNorm restore unchanged
+            y = MaskedBatchNorm(use_running_average=not train,
+                                axis_names=tuple(self.bn_axes),
+                                name="BatchNorm_0")(
+                y, mask if centers is None else center_mask)
         elif self.norm != "none":
             raise ValueError(f"unknown norm: {self.norm!r}")
         y = self.activation(y)

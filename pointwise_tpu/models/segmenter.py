@@ -183,10 +183,13 @@ class ShapeNetPartSegmenter(nn.Module):
             nn.remat(PointwiseConvBlock, static_argnums=(4,))
             if self.remat else PointwiseConvBlock
         )
-        for c, r in zip(self.channels, self.radii):
+        for i, (c, r) in enumerate(zip(self.channels, self.radii)):
+            # name pinned so checkpoints survive toggling remat (matches
+            # PointwiseSegmenter above)
             x = block_cls(c, r, impl=self.impl, norm=self.norm,
                           precision=self.precision,
-                          bn_axes=tuple(self.bn_axes))(
+                          bn_axes=tuple(self.bn_axes),
+                          name=f"PointwiseConvBlock_{i}")(
                 points, x, mask, train
             )
             skips.append(x)

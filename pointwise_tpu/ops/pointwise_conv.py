@@ -85,6 +85,68 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _geometry_layout(points, mask, centers, center_mask, tile_n, tile_m,
+                     cin_p=LANE, cout_p=LANE):
+    """Shared geometry layout for ``pointwise_conv`` / ``pointwise_conv_counts``
+    (one copy so the sentinel/padding/tile policy cannot drift between the
+    conv and its ring-strategy counts pre-pass):
+
+      * batch-dim promotion;
+      * self-conv center defaulting — ``center_mask`` defaults to ``mask``
+        ONLY when not given, matching the executable spec
+        (ops/reference.py:111-114);
+      * masked candidates -> +SENTINEL, masked non-self centers ->
+        -SENTINEL (self-conv centers stay at their real coordinates: their
+        outputs are computed then zeroed by the final center-mask multiply,
+        exactly like the reference);
+      * tile selection and padding to tile multiples.
+
+    Returns (batched, self_conv, B, M, Nc, Mp, Ncp, tile_n, tile_m,
+    pts, ctr, center_mask) with pts/ctr already sentinel-moved and padded.
+    """
+    batched = points.ndim == 3
+    if not batched:
+        points = points[None]
+        mask = None if mask is None else mask[None]
+        centers = None if centers is None else centers[None]
+        center_mask = None if center_mask is None else center_mask[None]
+    self_conv = centers is None
+    if self_conv:
+        centers = points
+        if center_mask is None:
+            center_mask = mask
+
+    B, M, _ = points.shape
+    Nc = centers.shape[1]
+    if tile_m is None:
+        # big candidate tiles amortize the accumulator RMW; both padded
+        # sizes are made divisible by both tile shapes (sentinel padding is
+        # skipped by the kernels' bbox early-out, so overshoot is cheap).
+        tile_m = 512 if max(M, Nc) >= 512 else 128
+    if tile_n is None:
+        # bigger center tiles amortize finalize cost; keep VMEM bounded
+        # (acc/Z scratch scale with tile_n * channel widths).
+        tile_n = 256 if (max(M, Nc) >= 512 and cin_p <= 128
+                         and cout_p <= 128) else 128
+    pad_to = max(tile_n, tile_m)
+    Mp = round_up(M, pad_to)
+    Ncp = round_up(Nc, pad_to)
+
+    f32 = jnp.float32
+    pts = points.astype(f32)
+    if mask is not None:
+        pts = jnp.where(mask.astype(bool)[..., None], pts, SENTINEL)
+    pts = jnp.pad(pts, ((0, 0), (0, Mp - M), (0, 0)),
+                  constant_values=SENTINEL)
+    ctr = centers.astype(f32)
+    if (not self_conv) and center_mask is not None:
+        ctr = jnp.where(center_mask.astype(bool)[..., None], ctr, -SENTINEL)
+    ctr = jnp.pad(ctr, ((0, 0), (0, Ncp - Nc), (0, 0)),
+                  constant_values=-SENTINEL)
+    return (batched, self_conv, B, M, Nc, Mp, Ncp, tile_n, tile_m,
+            pts, ctr, center_mask)
+
+
 def pointwise_conv(
     points: jnp.ndarray,
     features: jnp.ndarray,
@@ -135,10 +197,19 @@ def pointwise_conv(
         full convolution (the memory-bounded ring strategy,
         parallel/spatial.py).  Supported by both the pallas and reference
         impls, so the ring strategy debugs against the executable spec.
+        Requires ``bias=None``: a bias inside each partial would be summed
+        once per subset — add it once after summing the partials.
 
     Returns:
       (Nc, Cout) or (B, Nc, Cout).
     """
+    if ext_counts is not None and bias is not None:
+        # ext_counts computes a PARTIAL convolution whose results sum over
+        # disjoint candidate subsets; a bias inside each partial would be
+        # added once PER SUBSET (the ring strategy adds it once at the end).
+        raise ValueError(
+            "ext_counts computes a partial convolution — pass bias=None and "
+            "add the bias once after summing the partials")
     if impl.startswith("spatial"):
         # 'spatial' or 'spatial:<axis>[:ring]' — point dim sharded over a mesh
         # axis; only valid inside shard_map. Lazy import avoids a cycle.
@@ -149,6 +220,14 @@ def pointwise_conv(
         strategy = parts[2] if len(parts) > 2 else "gather"
         if centers is not None:
             raise ValueError("spatial impl shards self-convolution only")
+        dropped = {"center_mask": center_mask, "ext_counts": ext_counts,
+                   "interpret": interpret, "tile_n": tile_n, "tile_m": tile_m,
+                   "csr": csr, "mask_mode": mask_mode}
+        bad = sorted(k for k, v in dropped.items() if v is not None)
+        if bad:
+            # refusing beats silently computing something else (e.g. an
+            # ext_counts partial contract with per-shard divisors)
+            raise ValueError(f"spatial impl does not support {bad}")
         return spatial_pointwise_conv(
             points, features, weights, bias,
             radius=radius, axis=axis, mask_local=mask, strategy=strategy,
@@ -164,51 +243,14 @@ def pointwise_conv(
     if impl != "pallas":
         raise ValueError(f"unknown impl: {impl!r}")
 
-    batched = points.ndim == 3
-    if not batched:
-        points, features = points[None], features[None]
-        mask = None if mask is None else mask[None]
-        centers = None if centers is None else centers[None]
-        center_mask = None if center_mask is None else center_mask[None]
-        ext_counts = None if ext_counts is None else ext_counts[None]
-
-    self_conv = centers is None
-    if self_conv:
-        centers = points
-        center_mask = mask
-
-    B, M, _ = points.shape
-    Nc = centers.shape[1]
-    Cin = features.shape[-1]
-    Cout = weights.shape[-1]
-    if weights.shape != (N_CELLS, Cin, Cout):
-        raise ValueError(f"weights must be (27, {Cin}, Cout), got {weights.shape}")
-
-    cin_p = round_up(Cin + 1, LANE)
-    cout_p = round_up(Cout, LANE)
-    if tile_m is None:
-        # big candidate tiles amortize the accumulator RMW; both padded
-        # sizes are made divisible by both tile shapes (sentinel padding is
-        # skipped by the kernels' bbox early-out, so overshoot is cheap).
-        tile_m = 512 if max(M, Nc) >= 512 else 128
-    if tile_n is None:
-        # bigger center tiles amortize finalize cost; keep VMEM bounded
-        # (acc/Z scratch scale with tile_n * channel widths).
-        tile_n = 256 if (max(M, Nc) >= 512 and cin_p <= 128
-                         and cout_p <= 128) else 128
-    pad_to = max(tile_n, tile_m)
-    Mp = round_up(M, pad_to)
-    Ncp = round_up(Nc, pad_to)
-
-    f32 = jnp.float32
-    pts = points.astype(f32)
     # Coordinates at |x| >= _SENTINEL_CUT are indistinguishable from padding
     # (their neighborhoods silently drop).  The guard fails loudly under
     # jax.experimental.checkify when validation is enabled (set_validation —
     # opt-in for compile-cache determinism, see the switch's comment).
     if _VALIDATE:
-        real = pts if mask is None else jnp.where(
-            mask.astype(bool)[..., None], pts, 0.0
+        f32 = jnp.float32
+        real = points.astype(f32) if mask is None else jnp.where(
+            mask.astype(bool)[..., None], points.astype(f32), 0.0
         )
         checkify.debug_check(
             jnp.all(jnp.abs(real) < _SENTINEL_CUT),
@@ -217,14 +259,33 @@ def pointwise_conv(
             "neighborhoods are silently dropped; normalize/recenter the "
             "cloud.",
         )
-    if mask is not None:
-        pts = jnp.where(mask.astype(bool)[..., None], pts, SENTINEL)
-    pts = jnp.pad(pts, ((0, 0), (0, Mp - M), (0, 0)), constant_values=SENTINEL)
+        if centers is not None:
+            realc = centers.astype(f32) if center_mask is None else jnp.where(
+                center_mask.astype(bool)[..., None], centers.astype(f32), 0.0
+            )
+            checkify.debug_check(
+                jnp.all(jnp.abs(realc) < _SENTINEL_CUT),
+                "pointwise_conv: real (unmasked) CENTER coordinates must "
+                "satisfy |x| < 5e5 — larger values collide with the sentinel "
+                "padding (zero-feature padding rows would inflate their "
+                "divisors and masked candidates leak into their outputs); "
+                "recenter the tile.",
+            )
 
-    ctr = centers.astype(f32)
-    if (not self_conv) and center_mask is not None:
-        ctr = jnp.where(center_mask.astype(bool)[..., None], ctr, -SENTINEL)
-    ctr = jnp.pad(ctr, ((0, 0), (0, Ncp - Nc), (0, 0)), constant_values=-SENTINEL)
+    Cin = features.shape[-1]
+    Cout = weights.shape[-1]
+    if weights.shape != (N_CELLS, Cin, Cout):
+        raise ValueError(f"weights must be (27, {Cin}, Cout), got {weights.shape}")
+    cin_p = round_up(Cin + 1, LANE)
+    cout_p = round_up(Cout, LANE)
+
+    (batched, self_conv, B, M, Nc, Mp, Ncp, tile_n, tile_m, pts, ctr,
+     center_mask) = _geometry_layout(points, mask, centers, center_mask,
+                                     tile_n, tile_m, cin_p, cout_p)
+    if not batched:
+        features = features[None]
+        ext_counts = None if ext_counts is None else ext_counts[None]
+    f32 = jnp.float32
 
     # Features travel to the kernel already in the matmul dtype: the kernels
     # cast to mm_dtype before every binning matmul anyway, so the FORWARD is
@@ -295,9 +356,8 @@ def pointwise_conv(
         y_p = pointwise_conv_pallas_ext(spec, ctr, jnp.swapaxes(pts, 1, 2),
                                         feats, w, b, cnt_p)
     y = y_p[:, :Nc, :Cout].astype(features.dtype)
-    cm = center_mask if not self_conv or mask is None else mask
-    if cm is not None:
-        y = y * cm.astype(y.dtype)[..., None]
+    if center_mask is not None:   # resolved by _geometry_layout (spec rule)
+        y = y * center_mask.astype(y.dtype)[..., None]
     return y if batched else y[0]
 
 
@@ -321,37 +381,9 @@ def pointwise_conv_counts(
     outputs sum exactly.  Not differentiable (counts are piecewise-constant
     in positions) — the result is wrapped in stop_gradient.
     """
-    batched = points.ndim == 3
-    if not batched:
-        points = points[None]
-        mask = None if mask is None else mask[None]
-        centers = None if centers is None else centers[None]
-        center_mask = None if center_mask is None else center_mask[None]
-    self_conv = centers is None
-    if self_conv:
-        centers = points
-        center_mask = mask
-
-    B, M, _ = points.shape
-    Nc = centers.shape[1]
-    if tile_m is None:
-        tile_m = 512 if max(M, Nc) >= 512 else 128
-    if tile_n is None:
-        tile_n = 256 if max(M, Nc) >= 512 else 128
-    pad_to = max(tile_n, tile_m)
-    Mp = round_up(M, pad_to)
-    Ncp = round_up(Nc, pad_to)
-
-    f32 = jnp.float32
-    pts = points.astype(f32)
-    if mask is not None:
-        pts = jnp.where(mask.astype(bool)[..., None], pts, SENTINEL)
-    pts = jnp.pad(pts, ((0, 0), (0, Mp - M), (0, 0)), constant_values=SENTINEL)
-    ctr = centers.astype(f32)
-    if (not self_conv) and center_mask is not None:
-        ctr = jnp.where(center_mask.astype(bool)[..., None], ctr, -SENTINEL)
-    ctr = jnp.pad(ctr, ((0, 0), (0, Ncp - Nc), (0, 0)),
-                  constant_values=-SENTINEL)
+    (batched, _, B, M, Nc, Mp, Ncp, tile_n, tile_m, pts, ctr,
+     _) = _geometry_layout(points, mask, centers, center_mask,
+                           tile_n, tile_m)
 
     spec = PwConvSpec(
         radius=float(radius), batch=B, n_centers=Ncp, n_points=Mp,

@@ -122,6 +122,10 @@ def _ring_conv(points_local, features_local, weights, bias, *, radius, axis,
             centers=points_local, center_mask=mask_local,
             impl=impl, precision=precision, ext_counts=counts,
         )
+        # accumulate in f32: with bf16 features each partial comes back
+        # bf16, and re-rounding the running sum every ring step would make
+        # ring drift from gather/single-chip by O(n_dev) ULPs
+        part = part.astype(jnp.float32)
         y = part if y is None else y + part
         if step != n_dev - 1:
             p = jax.lax.ppermute(p, axis, perm)
@@ -132,4 +136,4 @@ def _ring_conv(points_local, features_local, weights, bias, *, radius, axis,
         y = y + bias.astype(y.dtype)
         if mask_local is not None:
             y = y * mask_local.astype(y.dtype)[..., None]
-    return y
+    return y.astype(features_local.dtype)

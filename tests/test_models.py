@@ -103,3 +103,31 @@ def test_batchnorm_mutable_path():
         pts, train=False,
     )
     assert out2.shape == (2, 4)
+
+
+def test_masked_batchnorm_ignores_padding():
+    # nn.BatchNorm's moments include zeroed padding rows; MaskedBatchNorm's
+    # must not: normalizing a padded batch (with mask) must equal
+    # normalizing the unpadded batch, on the real rows.
+    import numpy as np
+
+    from pointwise_tpu.models.layers import MaskedBatchNorm
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 3).astype(np.float32) * 2 + 1)
+    x_pad = jnp.concatenate([x, jnp.zeros((2, 4, 3))], axis=1)
+    mask = jnp.concatenate([jnp.ones((2, 5)), jnp.zeros((2, 4))], axis=1)
+
+    bn = MaskedBatchNorm(use_running_average=False)
+    v = bn.init(jax.random.PRNGKey(0), x)
+    y, st = bn.apply(v, x, mutable=["batch_stats"])
+    y_pad, st_pad = bn.apply(v, x_pad, mask, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_pad[:, :5]), np.asarray(y),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st_pad)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+    # and WITHOUT the mask the padded moments would differ (the failure
+    # mode this layer exists to prevent)
+    y_wrong, _ = bn.apply(v, x_pad, mutable=["batch_stats"])
+    assert np.abs(np.asarray(y_wrong[:, :5]) - np.asarray(y)).max() > 1e-2

@@ -180,6 +180,48 @@ def test_center_permutation_equivariance():
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y[:, perm]), rtol=2e-4, atol=2e-5)
 
 
+def test_self_conv_explicit_center_mask_matches_reference():
+    # Spec rule (reference.py:111-114): in a self-convolution, center_mask
+    # defaults to mask only when NOT given — a user-provided center_mask
+    # must be honored (it used to be silently overwritten by mask).
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(13), b=2, n=64)
+    rng = np.random.RandomState(5)
+    mask = jnp.asarray((rng.rand(2, 64) > 0.2).astype(np.float32))
+    cmask = jnp.asarray((rng.rand(2, 64) > 0.4).astype(np.float32))
+    y_ref = pointwise_conv_reference(pts, feats, w, bias, radius=0.5,
+                                     mask=mask, center_mask=cmask)
+    y_pal = pointwise_conv(pts, feats, w, bias, radius=0.5, mask=mask,
+                           center_mask=cmask, impl="pallas")
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    # rows the center_mask invalidates are zero; rows only the candidate
+    # mask invalidates are NOT (the reference computes them)
+    dead = np.asarray(cmask) == 0
+    assert np.all(np.asarray(y_pal)[dead] == 0.0)
+    live_bias_free = np.asarray(
+        pointwise_conv(pts, feats, w, None, radius=0.5, mask=mask,
+                       center_mask=cmask, impl="pallas"))
+    only_mask_dead = (np.asarray(mask) == 0) & ~dead
+    assert np.any(np.abs(live_bias_free[only_mask_dead]) > 0)
+
+
+def test_ext_counts_rejects_bias():
+    pts, feats, w, bias = make_problem(jax.random.PRNGKey(14), b=1, n=32)
+    from pointwise_tpu.ops import pointwise_conv_counts
+
+    cnt = pointwise_conv_counts(pts, radius=0.5)
+    with pytest.raises(ValueError, match="partial"):
+        pointwise_conv(pts, feats, w, bias, radius=0.5, centers=pts,
+                       ext_counts=cnt)
+
+
+def test_spatial_impl_rejects_unsupported_kwargs():
+    pts, feats, w, _ = make_problem(jax.random.PRNGKey(15), b=1, n=32)
+    with pytest.raises(ValueError, match="does not support"):
+        pointwise_conv(pts, feats, w, None, radius=0.5, impl="spatial:space",
+                       csr=True)
+
+
 def test_translation_invariance():
     # The op depends on points only through relative offsets p_j - p_i, so a
     # rigid translation must not change outputs (up to fp rounding of the
