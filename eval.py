@@ -28,18 +28,32 @@ from pointwise_tpu.train.configs import ClassificationConfig, SegmentationConfig
 from pointwise_tpu.train.trainer import Trainer
 
 
-def _restore_params(cfg, model, sample_args, checkpoint_dir):
-    params = jax.jit(
+def _restore_variables(cfg, model, sample_args, checkpoint_dir):
+    """Init + (optionally) restore the model's variables.
+
+    Returns the full apply-able variables dict — {'params': ...} plus
+    'batch_stats' for norm='batch' models, so BN checkpoints evaluate with
+    their trained running moments (the restore template must carry
+    model_state or the Trainer's structural fallback drops it).
+    """
+    variables = jax.jit(
         lambda r: model.init(r, *sample_args, train=False)
-    )(jax.random.PRNGKey(0))["params"]
+    )(jax.random.PRNGKey(0))
+    params = variables["params"]
+    model_state = variables.get("batch_stats")
     if checkpoint_dir:
         trainer = Trainer(lambda p, b, r, t: (jnp.zeros(()), {}), params,
-                          cfg.optimizer, donate=False)
+                          cfg.optimizer, donate=False,
+                          model_state=model_state)
         step = trainer.restore_checkpoint(checkpoint_dir)
         print(f"# restored step {step} from {checkpoint_dir}", flush=True)
-        return trainer.state.params
+        out = {"params": trainer.state.params}
+        if trainer.state.model_state is not None:
+            out["batch_stats"] = trainer.state.model_state
+        return out
     print("# no checkpoint dir: evaluating fresh params", flush=True)
-    return params
+    return {"params": params} if model_state is None else {
+        "params": params, "batch_stats": model_state}
 
 
 def _pad_batch(batch: dict, batch_size: int):
@@ -76,11 +90,11 @@ def eval_classification(cfg: ClassificationConfig, args):
         impl=cfg.impl,
     )
     sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3))
-    params = _restore_params(cfg, model, (sample,), args.checkpoint_dir)
+    variables = _restore_variables(cfg, model, (sample,), args.checkpoint_dir)
 
     @jax.jit
-    def logits_fn(params, pts):
-        return model.apply({"params": params}, pts, train=False)
+    def logits_fn(variables, pts):
+        return model.apply(variables, pts, train=False)
 
     votes = max(1, args.votes)
     correct = total = 0
@@ -96,7 +110,7 @@ def eval_classification(cfg: ClassificationConfig, args):
             rot = jnp.asarray(
                 [[c, 0, s], [0, 1, 0], [-s, 0, c]], jnp.float32
             )
-            acc_logits = acc_logits + logits_fn(params, pts @ rot)
+            acc_logits = acc_logits + logits_fn(variables, pts @ rot)
         pred = np.asarray(jnp.argmax(acc_logits, -1))[:nb]
         lab = batch["label"][:nb]
         preds.append(pred)
@@ -136,20 +150,20 @@ def eval_segmentation_streaming(cfg: SegmentationConfig, args, scenes,
         impl=cfg.impl, use_global_context=False,
     )
     tmpl = s3dis.batch_template(cfg)
-    params = _restore_params(
+    variables = _restore_variables(
         cfg, model, (tmpl["points"], tmpl["features"], tmpl["mask"]),
         args.checkpoint_dir,
     )
 
-    # params as an argument: weight-independent HLO -> the persistent
+    # variables as an argument: weight-independent HLO -> the persistent
     # compile cache hits across processes/checkpoints (see infer.py)
     @functools.partial(jax.jit, static_argnums=(6,))
-    def apply_layered_p(p, pts, fts, cnt, sels, skips, lengths):
-        return model.apply({"params": p}, pts, fts, cnt, sels, skips,
+    def apply_layered_p(v, pts, fts, cnt, sels, skips, lengths):
+        return model.apply(v, pts, fts, cnt, sels, skips,
                            lengths=lengths, method="streaming_logits")
 
     def apply_layered(pts, fts, cnt, sels, skips, lengths):
-        return apply_layered_p(params, pts, fts, cnt, sels, skips, lengths)
+        return apply_layered_p(variables, pts, fts, cnt, sels, skips, lengths)
 
     halo = float(sum(cfg.radii))
     all_pred, all_lab = [], []
@@ -195,24 +209,26 @@ def eval_segmentation(cfg: SegmentationConfig, args):
         impl=cfg.impl, use_global_context=cfg.global_context,
     )
     tmpl = s3dis.batch_template(cfg)
-    params = _restore_params(
+    variables = _restore_variables(
         cfg, model, (tmpl["points"], tmpl["features"], tmpl["mask"]),
         args.checkpoint_dir,
     )
 
     @jax.jit
-    def logits_fn(params, pts, feats, mask):
-        return model.apply({"params": params}, pts, feats, mask, train=False)
+    def logits_fn(variables, pts, feats, mask):
+        return model.apply(variables, pts, feats, mask, train=False)
 
     def predict(points, features, mask):
         return np.asarray(
-            logits_fn(params, jnp.asarray(points), jnp.asarray(features),
+            logits_fn(variables, jnp.asarray(points), jnp.asarray(features),
                       jnp.asarray(mask))
         )
 
     # voting density: denser than the training stride by default,
     # controllable from the CLI (--stride)
-    stride = args.stride if args.stride else cfg.block_stride / 2
+    stride = args.stride if args.stride is not None else cfg.block_stride / 2
+    if stride <= 0:
+        raise SystemExit(f"--stride must be > 0, got {stride}")
     all_pred, all_lab = [], []
     for i, (xyz, rgb, lab) in enumerate(scenes):
         res = s3dis.predict_scene_voting(
@@ -251,17 +267,17 @@ def eval_shapenetpart(cfg: SegmentationConfig, args):
         jnp.zeros((cfg.batch_size, cfg.num_points, 3)),
         jnp.zeros((cfg.batch_size,), jnp.int32),
     )
-    params = _restore_params(cfg, model, sample, args.checkpoint_dir)
+    variables = _restore_variables(cfg, model, sample, args.checkpoint_dir)
 
     @jax.jit
-    def logits_fn(params, pts, cat):
-        return model.apply({"params": params}, pts, cat, train=False)
+    def logits_fn(variables, pts, cat):
+        return model.apply(variables, pts, cat, train=False)
 
     preds, labs, cats = [], [], []
     for batch in shapenetpart.batches(data, cfg.batch_size, shuffle=False,
                                       drop_remainder=False):
         batch, nb = _pad_batch(batch, cfg.batch_size)
-        lg = logits_fn(params, jnp.asarray(batch["points"]),
+        lg = logits_fn(variables, jnp.asarray(batch["points"]),
                        jnp.asarray(batch["category"]))
         preds.append(np.asarray(jnp.argmax(lg, -1))[:nb])
         labs.append(batch["label"][:nb])
@@ -292,8 +308,13 @@ def main():
     ap.add_argument("--streaming", action="store_true",
                     help="segmentation: exact overlap-save streaming instead"
                          " of block voting (needs a locality-only net)")
+    ap.add_argument("--norm", default=None, choices=["layer", "batch", "none"],
+                    help="override the config's normalization — must match "
+                         "the checkpoint's training flag (train.py --norm)")
     args = ap.parse_args()
     cfg = get_config(args.config)
+    if args.norm:
+        cfg = dataclasses.replace(cfg, norm=args.norm)
     print(f"# eval config={args.config} backend={jax.default_backend()}", flush=True)
     if isinstance(cfg, ClassificationConfig):
         eval_classification(cfg, args)

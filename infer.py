@@ -82,7 +82,7 @@ def save_profiles(path, profiles):
                   f)
 
 
-def serve(args, cfg, model, params):
+def serve(args, cfg, model, variables):
     """Keep-alive serving loop (VERDICT r3 task 1): programs compile/load
     ONCE (on a synthetic warm-up scene), then every request streams at the
     engine's steady-state rate — the fresh-process executable-load penalty
@@ -109,12 +109,12 @@ def serve(args, cfg, model, params):
     profiles = load_profiles(args.profile_file)
 
     @functools.partial(jax.jit, static_argnums=(6,))
-    def apply_layered_p(p, pts, fts, cnt, sels, skips, lengths):
-        return model.apply({"params": p}, pts, fts, cnt, sels, skips,
+    def apply_layered_p(v, pts, fts, cnt, sels, skips, lengths):
+        return model.apply(v, pts, fts, cnt, sels, skips,
                            lengths=lengths, method="streaming_logits")
 
     def apply_layered(pts, fts, cnt, sels, skips, lengths):
-        return apply_layered_p(params, pts, fts, cnt, sels, skips, lengths)
+        return apply_layered_p(variables, pts, fts, cnt, sels, skips, lengths)
 
     # same mesh wiring as the one-shot path: tile batches over 'data'
     # (--dp), resident scene rows over 'space' (--sp) — a serving host with
@@ -231,8 +231,15 @@ def main():
                     help="also row-shard the device-resident scene over a "
                          "'space' mesh axis of this size (scans beyond one "
                          "chip's HBM; composes with --dp)")
+    ap.add_argument("--norm", default=None, choices=["layer", "batch", "none"],
+                    help="override the config's normalization — must match "
+                         "the checkpoint's training flag (train.py --norm)")
     args = ap.parse_args()
     cfg = get_config(args.config)
+    if args.norm:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, norm=args.norm)
 
     model = PointwiseSegmenter(
         num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
@@ -240,24 +247,32 @@ def main():
         impl=cfg.impl, use_global_context=False,   # locality => exact streaming
     )
     tmpl = s3dis.batch_template(cfg)
-    params = jax.jit(
+    init_vars = jax.jit(
         lambda r: model.init(r, tmpl["points"], tmpl["features"],
                              tmpl["mask"], train=False)
-    )(jax.random.PRNGKey(0))["params"]
+    )(jax.random.PRNGKey(0))
+    # full variables dict (+'batch_stats' for norm='batch' checkpoints) —
+    # see eval._restore_variables for the restore-template rationale
+    variables = {"params": init_vars["params"]}
+    if "batch_stats" in init_vars:
+        variables["batch_stats"] = init_vars["batch_stats"]
     if args.checkpoint_dir:
         from pointwise_tpu.train.trainer import Trainer
 
-        tr = Trainer(lambda p, b, r, t: (jnp.zeros(()), {}), params,
-                     cfg.optimizer, donate=False)
+        tr = Trainer(lambda p, b, r, t: (jnp.zeros(()), {}),
+                     init_vars["params"], cfg.optimizer, donate=False,
+                     model_state=init_vars.get("batch_stats"))
         step = tr.restore_checkpoint(args.checkpoint_dir)
-        params = tr.state.params
+        variables = {"params": tr.state.params}
+        if tr.state.model_state is not None:
+            variables["batch_stats"] = tr.state.model_state
         print(f"# restored step {step}", flush=True)
 
     if args.serve:
         if not args.layered:
             raise SystemExit("--serve supports only the layered engine "
                              "(drop --no-layered)")
-        return serve(args, cfg, model, params)
+        return serve(args, cfg, model, variables)
 
     if args.data_dir:
         xyz, rgb, lab = s3dis.load_rooms(args.data_dir)[0]
@@ -282,12 +297,13 @@ def main():
         # hits across processes and across checkpoints (closure params bake
         # the weights into the program as constants and defeat it).
         @functools.partial(jax.jit, static_argnums=(6,))
-        def apply_layered_p(p, pts, fts, cnt, sels, skips, lengths):
-            return model.apply({"params": p}, pts, fts, cnt, sels, skips,
+        def apply_layered_p(v, pts, fts, cnt, sels, skips, lengths):
+            return model.apply(v, pts, fts, cnt, sels, skips,
                                lengths=lengths, method="streaming_logits")
 
         def apply_layered(pts, fts, cnt, sels, skips, lengths):
-            return apply_layered_p(params, pts, fts, cnt, sels, skips, lengths)
+            return apply_layered_p(variables, pts, fts, cnt, sels, skips,
+                                   lengths)
 
         mesh = None
         scene_axis = None
@@ -317,11 +333,11 @@ def main():
                       f"{len(xyz)/dt_rep:.0f} pts/s", flush=True)
     else:
         @jax.jit
-        def apply_p(p, pts, fts, mask):
-            return model.apply({"params": p}, pts, fts, mask, train=False)
+        def apply_p(v, pts, fts, mask):
+            return model.apply(v, pts, fts, mask, train=False)
 
         def apply_fn(pts, fts, mask):
-            return apply_p(params, pts, fts, mask)
+            return apply_p(variables, pts, fts, mask)
 
         for rep in range(max(1, args.repeat)):
             t0 = time.time()

@@ -34,11 +34,12 @@ def _load_h5_dir(path: str, split: str) -> ClassificationData | None:
 
     list_file = os.path.join(path, f"{split}_files.txt")
     if os.path.exists(list_file):
-        files = [
-            os.path.join(path, os.path.basename(line.strip()))
-            for line in open(list_file)
-            if line.strip()
-        ]
+        with open(list_file) as fh:
+            files = [
+                os.path.join(path, os.path.basename(line.strip()))
+                for line in fh
+                if line.strip()
+            ]
     else:
         files = sorted(glob.glob(os.path.join(path, f"*{split}*.h5")))
     if not files:

@@ -32,11 +32,13 @@ def prefetch_to_device(
     it = iter(it)
 
     def put(batch):
+        if jax.process_count() > 1:
+            # multi-host: leave the batch on HOST — a global sharding cannot
+            # be fed from per-process data here, and a local device_put
+            # would only be pulled straight back for
+            # Trainer._promote_batch's global assembly
+            return batch
         sh = sharding() if callable(sharding) else sharding
-        if sh is not None and jax.process_count() > 1:
-            # a GLOBAL sharding cannot be fed from per-process host data
-            # here; Trainer._promote_batch assembles the global array
-            sh = None
         if sh is None:
             return jax.device_put(batch)
         return jax.device_put(batch, sh)

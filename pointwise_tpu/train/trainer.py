@@ -391,6 +391,13 @@ class Trainer:
             for k, v in m.items():
                 total[k] = total.get(k, 0.0) + float(v) * w
             wsum += w
+        if not total:
+            # e.g. a heldout split smaller than the batch size with
+            # drop_remainder — logging all-zero "metrics" would silently
+            # pass for a real evaluation
+            raise ValueError(
+                "evaluate() received no batches — eval split smaller than "
+                "the batch size with drop_remainder, or an empty iterator")
         return {k: v / max(wsum, 1e-9) for k, v in total.items()}
 
     # ---- checkpointing (orbax) ------------------------------------------

@@ -154,8 +154,12 @@ def train_classification(cfg: ClassificationConfig, args):
         cfg.data_dir or args.data_dir, "test", cfg.num_points,
         synthetic_size=128, seed=cfg.seed, variant=cfg.variant,
     )
-    if train_data.num_classes != cfg.num_classes:
-        cfg = dataclasses.replace(cfg, num_classes=train_data.num_classes)
+    # head wide enough for BOTH splits: a test class id absent from the
+    # train split would otherwise be silently clamped by the in-loop eval
+    # (eval.py widens explicitly; the loop here must match)
+    ncls = max(train_data.num_classes, test_data.num_classes)
+    if ncls != cfg.num_classes:
+        cfg = dataclasses.replace(cfg, num_classes=ncls)
 
     model, loss_fn = build_classifier(cfg)
     sample = {
@@ -178,8 +182,13 @@ def train_classification(cfg: ClassificationConfig, args):
         ),
         steps_per_epoch=steps_per_epoch,
         max_steps=args.steps or cfg.epochs * steps_per_epoch,
+        # keep the remainder on a single device (full-test-set protocol; the
+        # tail shape costs one extra eval compile); a mesh needs divisible
+        # batches, so --dp/--sp keep drop_remainder
         eval_iter=lambda: pipeline.prefetch_to_device(
-            modelnet.batches(test_data, cfg.batch_size, shuffle=False)
+            modelnet.batches(test_data, cfg.batch_size, shuffle=False,
+                             drop_remainder=bool(args.dp or args.sp)),
+            sharding=lambda: getattr(trainer, "batch_sharding", None),
         ),
         writer=writer,
     )
@@ -275,8 +284,13 @@ def train_segmentation(cfg: SegmentationConfig, args):
         ),
         steps_per_epoch=steps_per_epoch,
         max_steps=args.steps or cfg.epochs * steps_per_epoch,
+        # remainder kept single-device (a small heldout room must not lose
+        # blocks — or worse, yield ZERO batches, which evaluate() now
+        # rejects loudly); mesh runs need divisible batches
         eval_iter=lambda: pipeline.prefetch_to_device(
-            s3dis.block_batches(eval_blocks, cfg.batch_size, shuffle=False)
+            s3dis.block_batches(eval_blocks, cfg.batch_size, shuffle=False,
+                                drop_remainder=bool(args.dp or args.sp)),
+            sharding=lambda: getattr(trainer, "batch_sharding", None),
         ),
         eval_split="heldout_rooms" if len(rooms) >= 2 else "heldout_blocks",
         writer=writer,
