@@ -131,6 +131,13 @@ _REGISTRY = {
         channels=(124, 124, 124, 124, 124, 124),
         radii=(0.1, 0.15, 0.2, 0.3, 0.4, 0.6),
     ),
+    # tiny part-seg config (CI: CLI smoke runs on the CPU backend)
+    "shapenetpart_tiny": SegmentationConfig(
+        name="shapenetpart_tiny", num_classes=50, num_points=128,
+        batch_size=2, in_features=3, channels=(8, 8), radii=(0.3, 0.5),
+        head_dims=(16,), impl="reference",
+        log_every=1, eval_every=10_000, checkpoint_every=10_000,
+    ),
     # hard part-seg anchor: canonical-geometry part labels + deformed
     # clouds (see shapenetpart.synthetic_set variant='hard') so the pinned
     # number sits off the ceiling and can regress (VERDICT r3 #8)

@@ -316,26 +316,31 @@ def train_shapenetpart(cfg: SegmentationConfig, args):
         impl=cfg.impl,
     )
 
-    def loss_fn(params, batch, rng, train):
-        logits = model.apply(
-            {"params": params}, batch["points"], batch["category"],
+    def forward(variables, batch, rng, train, mutable):
+        out = model.apply(
+            variables, batch["points"], batch["category"],
             mask=batch["mask"], train=train, rngs={"dropout": rng},
+            mutable=mutable,
         )
+        logits, mut = out if mutable else (out, None)
         loss, acc = segmentation_loss(logits, batch["label"], batch["mask"])
-        return loss, {"accuracy": acc}
+        return (loss, {"accuracy": acc}), mut
 
+    loss_fn = _wrap_forward(forward, cfg.norm == "batch")
     sample = {
         "points": jnp.zeros((cfg.batch_size, cfg.num_points, 3)),
         "category": jnp.zeros((cfg.batch_size,), jnp.int32),
         "mask": jnp.ones((cfg.batch_size, cfg.num_points)),
     }
-    params = jax.jit(
+    variables = jax.jit(
         lambda r: model.init(
             r, sample["points"], sample["category"], mask=sample["mask"],
             train=False,
         )
-    )(jax.random.PRNGKey(cfg.seed))["params"]
-    trainer = Trainer(loss_fn, params, cfg.optimizer, mesh=_mesh(args))
+    )(jax.random.PRNGKey(cfg.seed))
+    trainer = Trainer(loss_fn, variables["params"], cfg.optimizer,
+                      mesh=_mesh(args),
+                      model_state=variables.get("batch_stats"))
 
     steps_per_epoch = max(1, len(data.category) // cfg.batch_size)
     return run_train_loop(
