@@ -24,18 +24,30 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_SO)) or (
-        os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+    if os.path.exists(_SRC) and (
+        not os.path.exists(_SO)
+        or os.path.getmtime(_SRC) > os.path.getmtime(_SO)
     ):
+        # Build to a temp file + atomic rename: concurrent processes
+        # rebuilding a stale .so must never CDLL a half-written ELF.
+        tmp = f"{_SO}.tmp.{os.getpid()}"
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _SO, _SRC],
+                 "-o", tmp, _SRC],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, _SO)
         except Exception:
-            _lib = False
-            return _lib
+            # fall through: an existing (possibly stale) .so still beats
+            # the brute-force NumPy path by orders of magnitude
+            pass
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -74,6 +86,12 @@ class GridIndex:
             (extent / self.h).astype(np.int32) + 1, 1
         ).astype(np.int32)
         ncells = int(self.dims[0]) * int(self.dims[1]) * int(self.dims[2])
+        if ncells > np.iinfo(np.int32).max:
+            # int32 cell ids would wrap negative -> out-of-bounds writes in
+            # gh_build (and a silently wrong NumPy fallback)
+            raise ValueError(
+                f"grid of {ncells} cells exceeds int32 indexing — increase "
+                f"cell_size ({self.h}) or shrink the scene extent")
         self.cell_of_point = np.empty(n, np.int32)
         self.cell_starts = np.empty(ncells + 1, np.int32)
         self.order = np.empty(n, np.int32)
@@ -115,6 +133,19 @@ class GridIndex:
         p = self.points
         m = np.all((p >= lo) & (p < hi), axis=1)
         return np.where(m)[0].astype(np.int32)
+
+    def cell_points(self, coords) -> np.ndarray:
+        """Indices of the points in grid cell ``coords`` ((3,) ints).
+
+        This is the EXACT partition the index was built with (every point
+        in exactly one cell).  A float AABB re-query of the same cell can
+        disagree by 1 ulp at cell seams — a point in the rounding gap
+        between two boxes would fall in NEITHER — so tile interiors must
+        come from here, not from query_box.
+        """
+        cid = ((int(coords[0]) * int(self.dims[1]) + int(coords[1]))
+               * int(self.dims[2]) + int(coords[2]))
+        return self.order[self.cell_starts[cid]:self.cell_starts[cid + 1]]
 
     def nonempty_cells(self) -> np.ndarray:
         """(k, 3) integer coords of cells containing points."""

@@ -48,6 +48,58 @@ def _stage(sx, sf, cand, centers, n0):
     return pts, fts
 
 
+_SCENE_STAGE_CACHE: dict = {}
+
+# (apply_fn id, bucket, tbs, lengths, axes, mesh shape) groups already
+# warm-compiled this process — see stream_apply_layered.warm_group
+_WARMED: set = set()
+
+
+def _scene_sharded_stage(mesh, data_axis: str, scene_axis: str):
+    """Owner-gather stager for a row-sharded resident scene, jitted ONCE per
+    (mesh, axes) — module-level cache so a keep-alive server retraces
+    nothing across requests (the same property ``_stage`` gives the
+    unsharded path; a per-call closure re-traced/lowered the shard_map for
+    every bucket shape on every request)."""
+    key = (mesh, data_axis, scene_axis)
+    fn = _SCENE_STAGE_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import PartitionSpec as P
+
+    def local(sx, sf, cand, centers, n0):
+        # owner-gather: every global index has exactly ONE owning row
+        # shard, so the psum assembles each tile exactly (non-owners
+        # contribute zeros)
+        k = jax.lax.axis_index(scene_axis)
+        ln = sx.shape[0]
+        sel = cand - k * ln
+        inr = (sel >= 0) & (sel < ln)
+        sel = jnp.clip(sel, 0, ln - 1)
+        pts = jax.lax.psum(
+            jnp.where(inr[..., None], sx[sel], 0.0), scene_axis)
+        fts = jax.lax.psum(
+            jnp.where(inr[..., None], sf[sel], 0.0), scene_axis)
+        live = (jnp.arange(cand.shape[1], dtype=jnp.int32)[None]
+                < n0[:, None])
+        pts = jnp.where(live[..., None], pts - centers[:, None, :],
+                        jnp.float32(SENTINEL))
+        fts = jnp.where(live[..., None], fts, 0.0)
+        return pts, fts
+
+    @jax.jit
+    def stage(sx, sf, cand, centers, n0):
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(scene_axis), P(scene_axis), P(data_axis),
+                      P(data_axis), P(data_axis)),
+            out_specs=(P(data_axis), P(data_axis)),
+        )(sx, sf, cand, centers, n0)
+
+    _SCENE_STAGE_CACHE[key] = stage
+    return stage
+
+
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -86,24 +138,26 @@ def stream_apply(
 
     jobs = []
     for c in cells:
-        lo = grid.origin + c.astype(np.float32) * tile_size
-        hi = lo + tile_size
-        interior = grid.query_box(lo, hi)
+        # interiors come from the index's EXACT cell partition — a float
+        # AABB re-query can disagree by 1 ulp at cell seams, dropping a
+        # boundary point from every tile (its output row would stay zero)
+        interior = grid.cell_points(c)
         if len(interior) == 0:
             continue
+        lo = grid.origin + c.astype(np.float32) * tile_size
+        hi = lo + tile_size
         cand = grid.query_box(lo - halo, hi + halo + 1e-5)
         # Morton order keeps tiles compact enough for the kernels' bbox
         # early-out / CSR walk.  (A whole-cell 512-slot packing gives
         # perfectly compact tiles but its ~1.3x padding inflation measured
         # slower overall — GOLDEN.md "Rejected: cell-list layout".)
         cand = cand[np.argsort(morton_code(xyz[cand]), kind="stable")]
-        slot_index = np.arange(len(cand), dtype=np.int32)
-        jobs.append((lo + 0.5 * tile_size, interior, cand, slot_index))
+        jobs.append((lo + 0.5 * tile_size, interior, cand))
 
     # group by bucket size (on the padded slot count)
     groups: dict[int, list] = {}
     for job in jobs:
-        b = _bucket_for(len(job[3]), buckets)
+        b = _bucket_for(len(job[2]), buckets)
         groups.setdefault(b, []).append(job)
 
     out = np.zeros((len(xyz), out_dim), np.float32)
@@ -119,20 +173,15 @@ def stream_apply(
             pts = np.full((tbs, b, 3), SENTINEL, np.float32)
             fts = np.zeros((tbs, b, features.shape[-1]), np.float32)
             msk = np.zeros((tbs, b), np.float32)
-            for t, (center, _, cand, slot_index) in enumerate(chunk):
-                live = slot_index >= 0
-                gidx = cand[slot_index[live]]
-                rows = np.where(live)[0]
-                pts[t, rows] = xyz[gidx] - center   # translation-invariant
-                fts[t, rows] = features[gidx]
-                msk[t, rows] = 1.0
+            for t, (center, _, cand) in enumerate(chunk):
+                k = len(cand)
+                pts[t, :k] = xyz[cand] - center     # translation-invariant
+                fts[t, :k] = features[cand]
+                msk[t, :k] = 1.0
             logits = np.asarray(apply_fn(pts, fts, msk), np.float32)
-            for t, (center, interior, cand, slot_index) in enumerate(chunk):
-                live = slot_index >= 0
-                gidx = cand[slot_index[live]]
-                rows = np.where(live)[0]
-                order = np.argsort(gidx)
-                pos = rows[order[np.searchsorted(gidx[order], interior)]]
+            for t, (center, interior, cand) in enumerate(chunk):
+                order = np.argsort(cand)
+                pos = order[np.searchsorted(cand[order], interior)]
                 out[interior] = logits[t, pos]
             done += tb
             if progress:
@@ -140,7 +189,7 @@ def stream_apply(
     return out
 
 
-def _nested_candidates(grid, lo, hi, halos):
+def _nested_candidates(grid, cell, lo, hi, halos):
     """One tile's candidate set plus the nested-prefix gather schedule.
 
     REQUIRES the scene to be GLOBALLY morton-sorted (stream_apply_layered
@@ -155,7 +204,9 @@ def _nested_candidates(grid, lo, hi, halos):
     Returns (interior ids in output order, cand ids, counts[L+1],
     sels[L], skips[L]) or None for an empty tile.
     """
-    interior = np.sort(grid.query_box(lo, hi))
+    # exact cell partition, not a float AABB re-query (see GridIndex
+    # .cell_points: 1-ulp box seams must not drop boundary points)
+    interior = np.sort(grid.cell_points(cell))
     if len(interior) == 0:
         return None
     sets = [np.sort(grid.query_box(lo - h, hi + h + 1e-5))
@@ -259,7 +310,7 @@ def stream_apply_layered(
     def build_job(c):
         lo = grid.origin + c.astype(np.float32) * tile_size
         hi = lo + tile_size
-        job = _nested_candidates(grid, lo, hi, halos)
+        job = _nested_candidates(grid, c, lo, hi, halos)
         if job is None:
             return None
         return (lo + 0.5 * tile_size, *job)
@@ -309,36 +360,7 @@ def stream_apply_layered(
                      np.zeros((pad, features.shape[1]), np.float32)])
             scene_sh = NamedSharding(mesh, P(scene_axis))
             put_scene = lambda a: jax.device_put(a, scene_sh)  # noqa: E731
-
-            @jax.jit
-            def stage(sx, sf, cand, centers, n0):
-                def local(sx, sf, cand, centers, n0):
-                    # owner-gather: every global index has exactly ONE
-                    # owning row shard, so the psum assembles each tile
-                    # exactly (non-owners contribute zeros)
-                    k = jax.lax.axis_index(scene_axis)
-                    ln = sx.shape[0]
-                    sel = cand - k * ln
-                    inr = (sel >= 0) & (sel < ln)
-                    sel = jnp.clip(sel, 0, ln - 1)
-                    pts = jax.lax.psum(
-                        jnp.where(inr[..., None], sx[sel], 0.0), scene_axis)
-                    fts = jax.lax.psum(
-                        jnp.where(inr[..., None], sf[sel], 0.0), scene_axis)
-                    live = (jnp.arange(cand.shape[1], dtype=jnp.int32)[None]
-                            < n0[:, None])
-                    pts = jnp.where(live[..., None],
-                                    pts - centers[:, None, :],
-                                    jnp.float32(SENTINEL))
-                    fts = jnp.where(live[..., None], fts, 0.0)
-                    return pts, fts
-
-                return jax.shard_map(
-                    local, mesh=mesh,
-                    in_specs=(P(scene_axis), P(scene_axis), P(data_axis),
-                              P(data_axis), P(data_axis)),
-                    out_specs=(P(data_axis), P(data_axis)),
-                )(sx, sf, cand, centers, n0)
+            stage = _scene_sharded_stage(mesh, data_axis, scene_axis)
     else:
         n_data = 1
         put_scene = jax.device_put
@@ -397,9 +419,16 @@ def stream_apply_layered(
         paid them serially at each group's first real chunk — warming in a
         background thread overlaps each group's compile with earlier
         groups' streaming.  The dummy result is discarded; the wasted
-        device pass per group is a few hundred ms."""
+        device pass per group is a few hundred ms.  Warmed (fn, schedule)
+        keys are remembered process-wide: a keep-alive server whose profile
+        covers the request must not pay the dummy passes again per request."""
         try:
             tbs, lengths = meta[b]
+            wkey = (id(apply_fn), b, tbs, lengths, data_axis, scene_axis,
+                    None if mesh is None else
+                    tuple(sorted(mesh.shape.items())))
+            if wkey in _WARMED:
+                return
             cand = put_rows(np.zeros((tbs, lengths[0]), np.int32))
             ctr = put_rows(np.zeros((tbs, 3), np.float32))
             pts_d, fts_d = stage(scene_xyz, scene_fts, cand, ctr,
@@ -413,6 +442,7 @@ def stream_apply_layered(
                       for l in range(L)),
                 lengths,
             )
+            _WARMED.add(wkey)
         except Exception:
             pass                      # the real call will surface any error
 
@@ -476,26 +506,38 @@ def stream_apply_layered(
     q: queue_mod.Queue = queue_mod.Queue(maxsize=3)
     packer = threading.Thread(target=pack_chunks, args=(q,), daemon=True)
     packer.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        b, lengths, cand_h, ctr_h, cnt, sels, skips, interiors = item
-        warm_done[b].wait()   # group's programs traced by the warm thread
-        # async: stage (device gather) + dispatch while the previous chunk
-        # computes; only index/schedule arrays cross the host link
-        pts_d, fts_d = stage(scene_xyz, scene_fts,
-                             put_rows(cand_h),
-                             put_rows(ctr_h),
-                             put_rows(cnt[:, 0]))
-        logits_d = apply_fn(pts_d, fts_d, put_rows(cnt),
-                            tuple(put_rows(x) for x in sels),
-                            tuple(put_rows(x) for x in skips), lengths)
-        pending.append((logits_d, interiors, b))
-        if len(pending) >= 2:
-            flush()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            b, lengths, cand_h, ctr_h, cnt, sels, skips, interiors = item
+            warm_done[b].wait()   # group's programs traced by the warm thread
+            # async: stage (device gather) + dispatch while the previous
+            # chunk computes; only index/schedule arrays cross the host link
+            pts_d, fts_d = stage(scene_xyz, scene_fts,
+                                 put_rows(cand_h),
+                                 put_rows(ctr_h),
+                                 put_rows(cnt[:, 0]))
+            logits_d = apply_fn(pts_d, fts_d, put_rows(cnt),
+                                tuple(put_rows(x) for x in sels),
+                                tuple(put_rows(x) for x in skips), lengths)
+            pending.append((logits_d, interiors, b))
+            if len(pending) >= 2:
+                flush()
+    except BaseException:
+        # Run the packer down before propagating: a keep-alive server
+        # catches per-request errors, and a packer blocked on the bounded
+        # queue would otherwise leak a thread + its queued multi-MB chunks
+        # for every failed request.
+        while packer.is_alive():
+            try:
+                q.get_nowait()
+            except queue_mod.Empty:
+                packer.join(timeout=0.05)
+        raise
     packer.join()
     while pending:
         flush()

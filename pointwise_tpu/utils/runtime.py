@@ -49,9 +49,15 @@ def enable_compile_cache(path: str | None = None) -> None:
 
 
 def sync(tree) -> float:
-    """Block until everything `tree` depends on has executed."""
-    leaf = jax.tree.leaves(tree)[0]
-    return float(jnp.sum(leaf.astype(jnp.float32)))
+    """Block until everything the first leaf of `tree` depends on has
+    executed (a device->host transfer is the only reliable barrier under
+    the axon tunnel).  Empty trees are a no-op; leaves produced by
+    UNRELATED dispatches are not ordered behind this transfer — sync the
+    value you actually timed."""
+    leaves = jax.tree.leaves(tree)
+    if not leaves:
+        return 0.0
+    return float(jnp.sum(leaves[0].astype(jnp.float32)))
 
 
 @contextlib.contextmanager
@@ -103,7 +109,10 @@ def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_devtime",
         r = None
         for _ in range(iters):
             r = fn()
-        sync(r)
+        # barrier WITHOUT a compute dispatch: sync()'s jnp.sum would land
+        # its own jit program on the module line inside the trace window,
+        # inflating the per-call average (worst at iters=1)
+        jax.device_get(jax.tree.leaves(r)[0])
     finally:
         jax.profiler.stop_trace()
     files = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
@@ -111,7 +120,6 @@ def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_devtime",
         return None
     pd = jax.profiler.ProfileData.from_file(files[-1])
     best_module = 0.0
-    best_any = 0.0
     for plane in pd.planes:
         if not plane.name.startswith("/device:"):
             continue
@@ -125,9 +133,10 @@ def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_devtime",
             # the kernel), so its sum exceeds wall and over-reported short
             # programs (measured: a 0.57 ms program read as 1.39 ms — the
             # staging-copy line total; GOLDEN round-4 attribution).
-            tot = sum(ev.duration_ns for ev in line.events)
-            best_any = max(best_any, tot)
-            if any(ev.name.startswith("jit") for ev in line.events):
-                best_module = max(best_module, tot)
-    best = best_module or best_any
-    return best / 1e9 / iters if best else None
+            tot = sum(ev.duration_ns for ev in line.events
+                      if ev.name.startswith("jit"))
+            best_module = max(best_module, tot)
+    # No module line -> None (an honest miss).  The old busiest-line
+    # fallback returned the async-copy line, whose overlapping events are
+    # documented above to OVER-report — a number known to be wrong.
+    return best_module / 1e9 / iters if best_module else None

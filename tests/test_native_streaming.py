@@ -41,6 +41,20 @@ def test_grid_cells_cover_all_points():
     np.testing.assert_array_equal(seen, np.arange(len(pts)))
 
 
+def test_cell_points_exact_partition():
+    # cell_points must partition the point set EXACTLY (every point in
+    # exactly one cell) — this is what tile interiors are built from; a
+    # float AABB re-query can disagree by 1 ulp at cell seams.
+    rng = np.random.RandomState(2)
+    pts = rng.uniform(-5, 7, (4000, 3)).astype(np.float32)
+    # adversarial: many points exactly on cell boundaries
+    pts[:1000] = np.round(pts[:1000] / 1.1) * 1.1
+    grid = native.GridIndex(pts, cell_size=1.1)
+    seen = np.sort(np.concatenate(
+        [grid.cell_points(c) for c in grid.nonempty_cells()]))
+    np.testing.assert_array_equal(seen, np.arange(len(pts)))
+
+
 def test_streaming_matches_direct():
     # Exactness: tile+halo streaming == full-scene apply, to fp tolerance.
     from pointwise_tpu.models import PointwiseSegmenter
