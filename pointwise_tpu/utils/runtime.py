@@ -87,12 +87,12 @@ def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_devtime",
     The only dispatch-immune timing under the axon tunnel (wall-clock minus
     a calibrated correction under-reports by ~1.5x — GOLDEN.md round 3):
     reads the /device: plane of the trace and returns seconds/call as the
-    busiest LINE's total event duration (the module-level line — every
-    program the call dispatches, so multi-program jits like the CSR
-    center-chunked conv are fully counted; kernel plus in-program slices,
-    slightly conservative for the kernel alone), or None if no trace was
-    produced.  ``fn`` must be warmed/compiled by one prior call; this
-    helper calls it once before tracing.
+    MODULE line's total jit-program duration (every program the call
+    dispatches, so multi-program jits like the CSR center-chunked conv are
+    fully counted; kernel plus in-program slices, slightly conservative
+    for the kernel alone), or None when no module line exists.  ``fn``
+    must be warmed/compiled by one prior call; this helper calls it once
+    before tracing.
 
     NOTE: ``logdir`` is DELETED and rewritten on every call (own default,
     separate from ``profile()``'s, so it never clobbers a trace collected
