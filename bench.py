@@ -384,6 +384,31 @@ def probe_backward_shapes():
 
         _sync(jax.jit(jax.grad(loss, argnums=(0, 1)))(feats, w))
 
+    # dx_flip variants: their scoped-VMEM liveness differs from the
+    # unflipped kernels and only exists on hardware — canary them at the
+    # same OOM-prone shape before any A/B flips the default
+    # (CLAUDE.md: keep canaries when adding kernel variants)
+    import pointwise_tpu.ops.pointwise_conv as _opmod
+
+    _orig_spec = _opmod.PwConvSpec
+    _opmod.PwConvSpec = lambda *a, **kw: _orig_spec(
+        *a, **{**kw, "dx_flip": True})
+    try:
+        B, N, c = 8, 2048, 124
+        k = jax.random.split(jax.random.PRNGKey(2), 3)
+        pts = jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1)
+        feats = jax.random.normal(k[1], (B, N, c))
+        w = jax.random.normal(k[2], (27, c, c)) * 0.1
+
+        def loss_flip(f, w_):
+            y = pointwise_conv(pts, f, w_, None, radius=0.6,
+                               precision="bfloat16")
+            return jnp.sum(y * y)
+
+        _sync(jax.jit(jax.grad(loss_flip, argnums=(0, 1)))(feats, w))
+    finally:
+        _opmod.PwConvSpec = _orig_spec
+
     # streaming big-bucket canary: the layered streaming path pads tiles to
     # 8K multiples with distinct center/candidate sets; those shapes (and
     # their CSR walks) never run in the CPU suite, and scoped-VMEM limits

@@ -471,6 +471,25 @@ def _dw_call_resident(spec: PwConvSpec, pts_r, pts_c, feats, g, cnt_in=None):
     )(*ops)[0]
 
 
+def _dx_finalize(z_tiles, wt_ref, dx_ref, spec, mmt):
+    """Shared dX projection — one (TMO, 27*Coutp) @ (27*Coutp, Cinp) matmul
+    through the pre-transposed weights.  All six dX kernel variants
+    (resident/grid/CSR x unflipped/flipped) end with exactly this."""
+    zcat = jnp.concatenate([t.astype(mmt) for t in z_tiles], axis=1)
+    wtflat = wt_ref[...].reshape(
+        N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
+    dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
+                        precision=_mm_precision(mmt))
+
+
+def _flip_operands(pts_r, pts_c, counts):
+    """dx_flip operand layout: candidates as rows, centers/counts as
+    columns (shared by the resident/grid/CSR dX call wrappers)."""
+    return (jnp.swapaxes(pts_c, 1, 2),      # (B, Nm, 3) candidates as rows
+            jnp.swapaxes(pts_r, 1, 2),      # (B, 3, Nc) centers as columns
+            jnp.swapaxes(counts, 1, 2))     # (B, 27, Nc)
+
+
 def _dx_kernel_resident(pr_ref, pc_ref, g_ref, cnt_ref, wt_ref, dx_ref, *, spec):
     """dX with the center walk in values (grid (batch, candidate_tiles)).
 
@@ -500,10 +519,7 @@ def _dx_kernel_resident(pr_ref, pc_ref, g_ref, cnt_ref, wt_ref, dx_ref, *, spec)
                 preferred_element_type=jnp.float32, precision=prec)
 
         _foreach_mask(pr, pc, spec, mmt, emit, row_scale=inv_cnt)
-    zcat = jnp.concatenate([t.astype(mmt) for t in z], axis=1)
-    wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
-    dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
-                        precision=prec)
+    _dx_finalize(z, wt_ref, dx_ref, spec, mmt)
 
 
 def _dx_kernel_resident_flip(pcr_ref, prt_ref, g_ref, cntt_ref, wt_ref,
@@ -531,10 +547,7 @@ def _dx_kernel_resident_flip(pcr_ref, prt_ref, g_ref, cntt_ref, wt_ref,
                                   precision=prec)
 
         _foreach_mask(pcr, prt, spec, mmt, emit, col_scale=invt, flip=True)
-    zcat = jnp.concatenate([t.astype(mmt) for t in z], axis=1)
-    wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
-    dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
-                        precision=prec)
+    _dx_finalize(z, wt_ref, dx_ref, spec, mmt)
 
 
 def _dx_call_resident(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
@@ -542,9 +555,7 @@ def _dx_call_resident(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
     wt = jnp.swapaxes(w, 1, 2)   # (27, Coutp, Cinp)
     grid = (spec.batch, spec.n_points // tmo)
     if spec.dx_flip:
-        pcr = jnp.swapaxes(pts_c, 1, 2)      # (B, Nm, 3) candidates as rows
-        prt = jnp.swapaxes(pts_r, 1, 2)      # (B, 3, Nc) centers as columns
-        cntt = jnp.swapaxes(counts, 1, 2)    # (B, 27, Nc)
+        pcr, prt, cntt = _flip_operands(pts_r, pts_c, counts)
         return pl.pallas_call(
             functools.partial(_dx_kernel_resident_flip, spec=spec),
             grid=grid,
@@ -728,12 +739,8 @@ def _dx_kernel_csr(imap_ref, deg_ref, pr_ref, pc_ref, g_ref, cnt_ref, wt_ref,
 
     @pl.when(d == n_d - 1)
     def _():
-        zcat = jnp.concatenate(
-            [z_ref[k].astype(mmt) for k in range(N_CELLS)], axis=1
-        )
-        wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
-        dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
-                            precision=_mm_precision(mmt))
+        _dx_finalize([z_ref[k] for k in range(N_CELLS)],
+                     wt_ref, dx_ref, spec, mmt)
 
 
 def _dx_kernel_csr_flip(imap_ref, deg_ref, pcr_ref, prt_ref, g_ref, cntt_ref,
@@ -768,12 +775,8 @@ def _dx_kernel_csr_flip(imap_ref, deg_ref, pcr_ref, prt_ref, g_ref, cntt_ref,
 
     @pl.when(d == n_d - 1)
     def _():
-        zcat = jnp.concatenate(
-            [z_ref[k].astype(mmt) for k in range(N_CELLS)], axis=1
-        )
-        wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
-        dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
-                            precision=_mm_precision(mmt))
+        _dx_finalize([z_ref[k] for k in range(N_CELLS)],
+                     wt_ref, dx_ref, spec, mmt)
 
 
 def _dx_call_csr(spec: PwConvSpec, imap, deg, pts_r, pts_c, g, counts, wt):
@@ -781,9 +784,7 @@ def _dx_call_csr(spec: PwConvSpec, imap, deg, pts_r, pts_c, g, counts, wt):
     dm = imap.shape[-1]
     _TRACE_COUNTS["dx_csr"] += 1
     if spec.dx_flip:
-        pcr = jnp.swapaxes(pts_c, 1, 2)      # (B, Nm, 3) candidates as rows
-        prt = jnp.swapaxes(pts_r, 1, 2)      # (B, 3, Nc) centers as columns
-        cntt = jnp.swapaxes(counts, 1, 2)    # (B, 27, Nc)
+        pcr, prt, cntt = _flip_operands(pts_r, pts_c, counts)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(spec.batch, spec.n_points // tmo, dm),
@@ -904,12 +905,8 @@ def _dx_kernel(pr_ref, pc_ref, g_ref, cnt_ref, wt_ref, dx_ref, z_ref, *, spec):
     def _():
         # one (TMO, 27*Coutp) @ (27*Coutp, Cinp) matmul; wt is pre-transposed
         # (27, Coutp, Cinp) by the caller.
-        zcat = jnp.concatenate(
-            [z_ref[k].astype(mmt) for k in range(N_CELLS)], axis=1
-        )
-        wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
-        dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
-                            precision=_mm_precision(mmt))
+        _dx_finalize([z_ref[k] for k in range(N_CELLS)],
+                     wt_ref, dx_ref, spec, mmt)
 
 
 def _dx_kernel_flip(pcr_ref, prt_ref, g_ref, cntt_ref, wt_ref, dx_ref, z_ref,
@@ -941,12 +938,8 @@ def _dx_kernel_flip(pcr_ref, prt_ref, g_ref, cntt_ref, wt_ref, dx_ref, z_ref,
 
     @pl.when(i == n_i - 1)
     def _():
-        zcat = jnp.concatenate(
-            [z_ref[k].astype(mmt) for k in range(N_CELLS)], axis=1
-        )
-        wtflat = wt_ref[...].reshape(N_CELLS * spec.cout_p, spec.cin_p).astype(mmt)
-        dx_ref[0] = jnp.dot(zcat, wtflat, preferred_element_type=jnp.float32,
-                            precision=_mm_precision(mmt))
+        _dx_finalize([z_ref[k] for k in range(N_CELLS)],
+                     wt_ref, dx_ref, spec, mmt)
 
 
 def _vmem(shape, imap):
@@ -1232,9 +1225,7 @@ def _dx_call(spec: PwConvSpec, pts_r, pts_c, g, counts, w):
     wt = jnp.swapaxes(w, 1, 2)   # (27, Coutp, Cinp) for the finalize matmul
     grid = (spec.batch, spec.n_points // tmo, spec.n_centers // tni)
     if spec.dx_flip:
-        pcr = jnp.swapaxes(pts_c, 1, 2)      # (B, Nm, 3) candidates as rows
-        prt = jnp.swapaxes(pts_r, 1, 2)      # (B, 3, Nc) centers as columns
-        cntt = jnp.swapaxes(counts, 1, 2)    # (B, 27, Nc)
+        pcr, prt, cntt = _flip_operands(pts_r, pts_c, counts)
         return pl.pallas_call(
             functools.partial(_dx_kernel_flip, spec=spec),
             grid=grid,

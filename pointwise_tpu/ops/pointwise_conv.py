@@ -184,6 +184,12 @@ def pointwise_conv(
       interpret: force/disable Pallas interpreter mode (None = by backend).
       tile_n/tile_m: kernel tile overrides (None = adaptive).
       precision: 'float32' | 'bfloat16' matmul inputs (f32 accumulation).
+        bf16 note: the dX kernels fold the 1/count averaging into the
+        binning planes (a measured win), so under bf16 the reciprocal is
+        rounded separately from the gradient — up to ~2x one-ulp relative
+        error per accumulated term vs the old single-rounding order;
+        within standard mixed-precision semantics, and f32 is bitwise
+        unaffected.
       csr: force/disable the CSR tile-pair walk (None = auto by walk length
         and a runtime adjacency-density heuristic; True disables the
         heuristic — only the correctness-required degree-overflow fallback
