@@ -20,7 +20,12 @@ import pytest
 
 
 @pytest.mark.slow
-def test_infer_serve_keepalive(tmp_path):
+@pytest.mark.parametrize("extra", [[], ["--dp"]],
+                         ids=["single", "data_parallel"])
+def test_infer_serve_keepalive(tmp_path, extra):
+    # --dp: serve() must wire the mesh like the one-shot path (tile batches
+    # sharded over 'data' on the 8-device CPU mesh the subprocess inherits
+    # via XLA_FLAGS) — it used to silently accept and ignore the flag.
     rng = np.random.RandomState(0)
     n = 2000
     xyz = rng.uniform(0.0, 2.5, (n, 3)).astype(np.float32)
@@ -41,7 +46,7 @@ def test_infer_serve_keepalive(tmp_path):
         [sys.executable, "infer.py", "--config", "seg_tiny_stream",
          "--serve", "--warm-points", "0",
          "--profile-file", os.fspath(prof_path),
-         "--tile-size", "1.5", "--tile-batch", "2"],
+         "--tile-size", "1.5", "--tile-batch", "2"] + extra,
         input=requests, capture_output=True, text=True, env=env, timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
