@@ -286,7 +286,10 @@ def eval_shapenetpart(cfg: SegmentationConfig, args):
     lab = np.concatenate(labs)
     cat = np.concatenate(cats)
     acc = float((pred == lab).mean())
-    miou = shapenetpart.category_miou(pred, lab, cat)
+    # convention-correct instance mIoU: each shape averaged over its
+    # category's FULL part set (the dataset carries the mapping)
+    miou = shapenetpart.category_miou(
+        pred, lab, cat, parts_per_category=data.parts_per_category)
     print(json.dumps({"metric": "shapenetpart", "accuracy": acc,
                       "instance_miou": miou, "n": len(cat)}), flush=True)
     return miou

@@ -27,6 +27,30 @@ NUM_CATEGORIES = 16
 NUM_PARTS = 50
 PARTS_PER_CATEGORY = 3  # synthetic fallback: 3 sectors per category
 
+# The public release's category -> global-part-id mapping (the `seg_classes`
+# table every ShapeNetPart evaluation uses; a fixed public constant).  The
+# instance-mIoU convention averages each shape's IoU over its category's
+# FULL part set — absent parts count as IoU 1.0 — so the mapping is part of
+# the metric, not just the data.
+REAL_PART_RANGES = {
+    0: [0, 1, 2, 3],          # airplane
+    1: [4, 5],                # bag
+    2: [6, 7],                # cap
+    3: [8, 9, 10, 11],        # car
+    4: [12, 13, 14, 15],      # chair
+    5: [16, 17, 18],          # earphone
+    6: [19, 20, 21],          # guitar
+    7: [22, 23],              # knife
+    8: [24, 25, 26, 27],      # lamp
+    9: [28, 29],              # laptop
+    10: [30, 31, 32, 33, 34, 35],  # motorbike
+    11: [36, 37],             # mug
+    12: [38, 39, 40],         # pistol
+    13: [41, 42, 43],         # rocket
+    14: [44, 45, 46],         # skateboard
+    15: [47, 48, 49],         # table
+}
+
 
 @dataclasses.dataclass
 class PartSegData:
@@ -35,6 +59,8 @@ class PartSegData:
     part: np.ndarray        # (num, N) i32 in [0, 50)
     num_categories: int = NUM_CATEGORIES
     num_parts: int = NUM_PARTS
+    # category -> this dataset's global part ids (drives instance-mIoU)
+    parts_per_category: dict | None = None
 
 
 def _load_h5_dir(path: str, split: str) -> PartSegData | None:
@@ -55,6 +81,7 @@ def _load_h5_dir(path: str, split: str) -> PartSegData | None:
         check_coordinates(np.concatenate(pts), name=path),
         np.concatenate(cats).astype(np.int32),
         np.concatenate(pids).astype(np.int32),
+        parts_per_category=REAL_PART_RANGES,
     )
 
 
@@ -111,7 +138,14 @@ def synthetic_set(seed: int, num_clouds: int, n_points: int = 2048,
         pts = np.stack([_harden_partseg(rng, c) for c in pts])
     elif variant != "default":
         raise ValueError(f"unknown variant {variant!r}")
-    return PartSegData(pts, cats, part, num_parts=NUM_CATEGORIES * PARTS_PER_CATEGORY)
+    return PartSegData(
+        pts, cats, part, num_parts=NUM_CATEGORIES * PARTS_PER_CATEGORY,
+        parts_per_category={
+            c: list(range(c * PARTS_PER_CATEGORY,
+                          (c + 1) * PARTS_PER_CATEGORY))
+            for c in range(NUM_CATEGORIES)
+        },
+    )
 
 
 def load_shapenetpart(path: str | None, split: str = "train",
@@ -123,23 +157,13 @@ def load_shapenetpart(path: str | None, split: str = "train",
             if data.points.shape[1] > n_points:
                 data.points = data.points[:, :n_points]
                 data.part = data.part[:, :n_points]
-            pts, part = [], []
-            for i in range(len(data.points)):
-                p, q = spatial.morton_sort(data.points[i], data.part[i])
-                pts.append(p)
-                part.append(q)
-            data.points = np.stack(pts)
-            data.part = np.stack(part)
+            data.points, data.part = spatial.morton_sort_batch(
+                data.points, data.part)
             return data
     seed = seed + (0 if split == "train" else 10_000)
     data = synthetic_set(seed, synthetic_size, n_points, variant=variant)
-    pts, part = [], []
-    for i in range(len(data.points)):
-        p, q = spatial.morton_sort(data.points[i], data.part[i])
-        pts.append(p)
-        part.append(q)
-    data.points = np.stack(pts)
-    data.part = np.stack(part)
+    data.points, data.part = spatial.morton_sort_batch(
+        data.points, data.part)
     return data
 
 
@@ -163,7 +187,16 @@ def batches(data: PartSegData, batch_size: int, *, shuffle=True, seed=0,
 def category_miou(pred: np.ndarray, label: np.ndarray, category: np.ndarray,
                   parts_per_category: dict[int, list[int]] | None = None):
     """Instance-average mIoU, the ShapeNetPart convention: IoU per shape
-    averaged over its category's part set, then averaged over shapes."""
+    averaged over its category's FULL part set (absent parts score 1.0),
+    then averaged over shapes.
+
+    ``parts_per_category`` must be the dataset's category->parts mapping
+    (``PartSegData.parts_per_category``; the public ``seg_classes`` table
+    for the real release) for published-number comparability.  Without it,
+    each shape falls back to its own present/predicted part ids — a looser
+    reading that scores strictly <= the convention (a mispredicted or
+    missing part that the convention would average as 1.0 over the full
+    set instead drags a smaller mean)."""
     ious = []
     for i in range(len(category)):
         if parts_per_category is None:

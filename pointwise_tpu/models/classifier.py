@@ -59,7 +59,7 @@ class PointwiseClassifier(nn.Module):
             nn.remat(PointwiseConvBlock, static_argnums=(4,))
             if self.remat else PointwiseConvBlock
         )
-        for i, (c, r) in enumerate(zip(self.channels, self.radii)):
+        for i, (c, r) in enumerate(zip(self.channels, self.radii, strict=True)):
             # name pinned so checkpoints survive toggling remat (the remat
             # wrapper changes the auto-generated scope name otherwise)
             x = block_cls(c, r, impl=self.impl, norm=self.norm,

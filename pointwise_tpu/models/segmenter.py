@@ -55,7 +55,7 @@ class PointwiseSegmenter(nn.Module):
             block_cls(c, r, impl=self.impl, norm=self.norm,
                       precision=self.precision, bn_axes=tuple(self.bn_axes),
                       name=f"PointwiseConvBlock_{i}")
-            for i, (c, r) in enumerate(zip(self.channels, self.radii))
+            for i, (c, r) in enumerate(zip(self.channels, self.radii, strict=True))
         ]
         self.head = [
             nn.Dense(d, name=f"Dense_{i}") for i, d in enumerate(self.head_dims)
@@ -183,7 +183,7 @@ class ShapeNetPartSegmenter(nn.Module):
             nn.remat(PointwiseConvBlock, static_argnums=(4,))
             if self.remat else PointwiseConvBlock
         )
-        for i, (c, r) in enumerate(zip(self.channels, self.radii)):
+        for i, (c, r) in enumerate(zip(self.channels, self.radii, strict=True)):
             # name pinned so checkpoints survive toggling remat (matches
             # PointwiseSegmenter above)
             x = block_cls(c, r, impl=self.impl, norm=self.norm,

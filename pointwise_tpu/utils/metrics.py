@@ -10,8 +10,14 @@ import numpy as np
 
 
 def confusion_matrix(pred: np.ndarray, label: np.ndarray, num_classes: int):
-    """(num_classes, num_classes) with rows = true class, cols = predicted."""
-    mask = (label >= 0) & (label < num_classes)
+    """(num_classes, num_classes) with rows = true class, cols = predicted.
+
+    Out-of-range entries in EITHER array are excluded (an out-of-range pred
+    would otherwise alias into a wrong cell or crash the bincount reshape —
+    e.g. evaluating a class subset narrower than the logit width, or a -1
+    ignore marker)."""
+    mask = ((label >= 0) & (label < num_classes)
+            & (pred >= 0) & (pred < num_classes))
     idx = label[mask].astype(np.int64) * num_classes + pred[mask].astype(np.int64)
     return np.bincount(idx, minlength=num_classes * num_classes).reshape(
         num_classes, num_classes

@@ -34,10 +34,17 @@ def convert_room(room_dir: str) -> np.ndarray | None:
             S3DIS_CLASSES.index("clutter")
         )
         try:
-            arr = np.loadtxt(f, dtype=np.float32)
-        except ValueError:
+            # ndmin=2: a single-point annotation file loads as (6,) and
+            # would otherwise be silently dropped by the shape check
+            arr = np.loadtxt(f, dtype=np.float32, ndmin=2)
+        except ValueError as e:
+            # the raw release has known stray characters (e.g.
+            # Area_5/hallway_6 ceiling_1.txt) — dropping a whole object
+            # silently would corrupt that room's mIoU
+            print(f"# WARNING: skipping unparseable {f}: {e}", flush=True)
             continue
         if arr.ndim != 2 or arr.shape[1] < 6:
+            print(f"# WARNING: skipping {f}: shape {arr.shape}", flush=True)
             continue
         lab = np.full((len(arr), 1), label, np.float32)
         parts.append(np.concatenate([arr[:, :6], lab], axis=1))

@@ -115,11 +115,15 @@ def read_instance_to_nyu(xml_path: str) -> dict[int, int]:
         name = el.get("nyu_class") or el.get("class") or el.get("text")
         if ident is None or not name:
             continue
+        try:
+            key = int(ident)          # non-numeric ids (layout variants)
+        except ValueError:            # are not instance elements — skip,
+            continue                  # don't crash the conversion
         name = name.strip().lower().replace(" ", "_")
         try:
-            mapping[int(ident)] = NYU40_CLASSES.index(name)
+            mapping[key] = NYU40_CLASSES.index(name)
         except ValueError:
-            mapping[int(ident)] = NYU40_CLASSES.index("otherprop")
+            mapping[key] = NYU40_CLASSES.index("otherprop")
     return mapping
 
 
@@ -148,8 +152,16 @@ def convert_scene(ply_path: str, xml_path: str | None) -> np.ndarray:
                 lut[k] = c
         lab = lut[np.clip(inst, 0, lut_size - 1)]
     elif "label" in v:  # labels already NYU ids (some re-releases)
-        lab = np.clip(np.asarray(v["label"], np.int64), 0,
-                      len(NYU40_CLASSES) - 1)
+        lab = np.asarray(v["label"], np.int64)
+        if lab.max(initial=0) >= len(NYU40_CLASSES):
+            # values above 39 are almost certainly INSTANCE ids whose
+            # annotation XML wasn't found — clipping them would silently
+            # write garbage class labels
+            raise SystemExit(
+                f"{ply_path}: 'label' values reach {int(lab.max())} (>39) — "
+                "these look like instance ids, not NYU40 classes; pass the "
+                "scene's annotation XML (missing or misnamed?)")
+        lab = np.clip(lab, 0, len(NYU40_CLASSES) - 1)
     else:
         lab = np.zeros(n, np.int64)
     return np.concatenate(

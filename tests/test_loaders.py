@@ -84,3 +84,32 @@ def test_train_cli_with_real_format_archive(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert '"loss"' in out.stdout
+
+
+def test_category_miou_convention():
+    # ShapeNetPart instance mIoU: per shape, IoU averaged over the
+    # category's FULL part set (absent parts score 1.0) — the published-
+    # number convention; the dataset carries its category->parts mapping.
+    from pointwise_tpu.data import shapenetpart
+
+    ppc = {0: [0, 1, 2, 3]}
+    label = np.array([[0, 0, 1, 1]])
+    pred = np.array([[0, 1, 1, 1]])
+    cat = np.array([0])
+    # part0 IoU 1/2, part1 IoU 2/3, parts 2 & 3 absent in both -> 1.0 each
+    got = shapenetpart.category_miou(pred, label, cat,
+                                     parts_per_category=ppc)
+    np.testing.assert_allclose(got, (0.5 + 2 / 3 + 1.0 + 1.0) / 4, rtol=1e-6)
+    # the loose fallback (no mapping) scores strictly lower here
+    loose = shapenetpart.category_miou(pred, label, cat)
+    assert loose < got
+
+    data = shapenetpart.load_shapenetpart(None, "test", 128, synthetic_size=4)
+    assert data.parts_per_category is not None
+    all_parts = sorted(p for ps in data.parts_per_category.values()
+                       for p in ps)
+    assert all_parts == list(range(data.num_parts))
+    # the real-release mapping covers the 50-part global space exactly
+    real = sorted(p for ps in shapenetpart.REAL_PART_RANGES.values()
+                  for p in ps)
+    assert real == list(range(50))
