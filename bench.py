@@ -384,15 +384,20 @@ def probe_backward_shapes():
 
         _sync(jax.jit(jax.grad(loss, argnums=(0, 1)))(feats, w))
 
-    # dx_flip variants: their scoped-VMEM liveness differs from the
-    # unflipped kernels and only exists on hardware — canary them at the
-    # same OOM-prone shape before any A/B flips the default
+    # dx_flip variants: their scoped-VMEM liveness differs between the
+    # orientations and only exists on hardware — canary the NON-default
+    # orientation at the same OOM-prone shape (the default-orientation
+    # canary is the block above), so both stay compilable on chip
     # (CLAUDE.md: keep canaries when adding kernel variants)
     import pointwise_tpu.ops.pointwise_conv as _opmod
 
+    import dataclasses as _dc
+
     _orig_spec = _opmod.PwConvSpec
+    _nondefault = not next(f.default for f in _dc.fields(_orig_spec)
+                           if f.name == "dx_flip")
     _opmod.PwConvSpec = lambda *a, **kw: _orig_spec(
-        *a, **{**kw, "dx_flip": True})
+        *a, **{**kw, "dx_flip": _nondefault})
     try:
         B, N, c = 8, 2048, 124
         k = jax.random.split(jax.random.PRNGKey(2), 3)

@@ -125,8 +125,10 @@ class PwConvSpec:
     # contraction — the same MXU shape as the forward walk — instead of a
     # transposed dot_general per plane.  CPU-interpret parity is pinned
     # both ways (tests/test_pointwise_conv.py dx_flip tests); the default
-    # follows the on-chip A/B (GOLDEN round-4 backward attribution).
-    dx_flip: bool = False
+    # follows the on-chip A/B (GOLDEN round-4 backward attribution:
+    # dX 4.026 -> 3.112 ms, 0.658 -> 0.851 of the walk ideal, so flipped
+    # is the production orientation).
+    dx_flip: bool = True
 
 
 def _mm_precision(mm_dtype):
