@@ -389,9 +389,14 @@ def probe_backward_shapes():
     # orientation at the same OOM-prone shape (the default-orientation
     # canary is the block above), so both stay compilable on chip
     # (CLAUDE.md: keep canaries when adding kernel variants)
-    import pointwise_tpu.ops.pointwise_conv as _opmod
+    # NOTE: `import pointwise_tpu.ops.pointwise_conv as _opmod` would bind
+    # the FUNCTION (ops/__init__.py re-exports it over the submodule
+    # attribute); importlib returns the real module from sys.modules.
+    import importlib
 
     import dataclasses as _dc
+
+    _opmod = importlib.import_module("pointwise_tpu.ops.pointwise_conv")
 
     _orig_spec = _opmod.PwConvSpec
     _nondefault = not next(f.default for f in _dc.fields(_orig_spec)
