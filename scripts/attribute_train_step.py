@@ -1,0 +1,149 @@
+"""Device-plane attribution of the full classification train step.
+
+bench.py's headline train step (ModelNet40 config: B=32, N=1024, 4 conv
+layers + FC head + adamw) measures ~19.4 ms while one fused conv op at
+B=64/N=1024 costs 9.56 ms fwd+bwd on the device plane — i.e. the four
+B=32 convs account for roughly the same device time, and the question is
+where the REMAINDER goes (head matmuls, optimizer, layout ops, or bubbles).
+
+This script traces the trainer step (same construction as
+bench.bench_train_step) and aggregates the device-plane OP lines by event
+name, printing the top ops plus the module-line total, so the step's
+composition is measured instead of guessed.  Run on the real chip:
+
+    python scripts/attribute_train_step.py [--steps 8]
+
+Methodology matches pointwise_tpu.utils.runtime.profile_device_time (module
+line identified by its jit_ events; op lines aggregated separately); the op
+lines of a device plane are non-overlapping sequences, so their per-name
+totals sum to <= the module total, and the gap is scheduling bubbles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--logdir", default="/tmp/pw_attr_train")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointwise_tpu.data import synthetic
+    from pointwise_tpu.models import PointwiseClassifier, classification_loss
+    from pointwise_tpu.train.configs import OptimizerConfig
+    from pointwise_tpu.train.trainer import Trainer
+    from pointwise_tpu.utils import spatial
+    from pointwise_tpu.utils.runtime import enable_compile_cache, sync
+
+    enable_compile_cache()
+
+    B, N = 32, 1024
+    model = PointwiseClassifier(num_classes=40)
+    pts, _ = synthetic.classification_set(0, B, N)
+    pts = spatial.morton_sort_batch(pts)
+    batch = {
+        "points": jnp.asarray(pts),
+        "label": jnp.asarray(np.random.RandomState(0).randint(0, 40, B)),
+    }
+
+    def loss_fn(params, batch, rng, train):
+        logits = model.apply(
+            {"params": params}, batch["points"], train=train,
+            rngs={"dropout": rng},
+        )
+        loss, acc = classification_loss(logits, batch["label"])
+        return loss, {"acc": acc}
+
+    params = jax.jit(
+        lambda r: model.init(r, batch["points"], train=False)
+    )(jax.random.PRNGKey(0))["params"]
+    # donate=False: the traced loop reuses `batch` across iterations
+    trainer = Trainer(loss_fn, params, OptimizerConfig(), donate=False)
+    rng = jax.random.PRNGKey(1)
+
+    sync(trainer.step(batch, rng))  # compile before tracing
+
+    shutil.rmtree(args.logdir, ignore_errors=True)
+    jax.profiler.start_trace(args.logdir)
+    try:
+        m = None
+        for _ in range(args.steps):
+            m = trainer.step(batch, rng)
+        jax.device_get(jax.tree.leaves(m)[0])
+    finally:
+        jax.profiler.stop_trace()
+
+    files = sorted(glob.glob(args.logdir + "/**/*.xplane.pb", recursive=True))
+    if not files:
+        raise SystemExit("no xplane.pb produced")
+    pd = jax.profiler.ProfileData.from_file(files[-1])
+
+    module_total = 0.0
+    op_totals: dict[str, float] = collections.defaultdict(float)
+    op_lines = 0
+    for plane in pd.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        for line in plane.lines:
+            events = list(line.events)
+            if not events:
+                continue
+            is_module = any(e.name.startswith("jit") for e in events)
+            if is_module:
+                module_total += sum(e.duration_ns for e in events)
+            elif "async" in line.name.lower() or "copy" in line.name.lower():
+                # async-copy events overlap each other; skip (GOLDEN r4)
+                continue
+            elif all(e.name.isdigit() for e in events):
+                continue  # step-marker line (events named "0".."7")
+            else:
+                op_lines += 1
+                for e in events:
+                    op_totals[e.name] += e.duration_ns
+    per = 1e-6 / args.steps  # ns -> ms/call
+    print(f"module line total: {module_total * per:.3f} ms/step "
+          f"({args.steps} steps, {op_lines} op lines)")
+    ranked = sorted(op_totals.items(), key=lambda kv: -kv[1])
+    covered = sum(op_totals.values())
+    print(f"op lines total:    {covered * per:.3f} ms/step")
+    for name, ns in ranked[: args.top]:
+        print(f"  {ns * per:8.3f} ms  {100 * ns / max(covered, 1):5.1f}%  "
+              f"{name[:90]}")
+
+    # rollup: classify the Pallas conv custom-calls by their result spec —
+    # fwd saves the counts alongside the features (tuple result), dW's
+    # result is the (27, cin_p, cout_p) weight grad, dX's is point-shaped
+    groups = collections.defaultdict(float)
+    for name, ns in op_totals.items():
+        if "PointwiseConv" in name:
+            res = name.split(" = ", 1)[-1]
+            if res.startswith("("):
+                groups["conv fwd kernels"] += ns
+            elif res.startswith(("f32[27,", "bf16[27,")):
+                groups["conv dW kernels"] += ns
+            else:
+                groups["conv dX kernels"] += ns
+        else:
+            groups["everything else (head/loss/adamw/layout)"] += ns
+    print("rollup:")
+    for name, ns in sorted(groups.items(), key=lambda kv: -kv[1]):
+        print(f"  {ns * per:8.3f} ms  {100 * ns / max(covered, 1):5.1f}%  "
+              f"{name}")
+
+
+if __name__ == "__main__":
+    main()
