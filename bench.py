@@ -126,8 +126,11 @@ def profile_device_time(fn, logdir="/tmp/pw_bench_prof", iters=4):
 
 def calibrate_peak_bf16(m=4096, reps=16, iters=3):
     """Sustained device bf16 matmul rate, measured (not assumed): a chain of
-    dependent m^3 matmuls inside one call (full dispatch amortization, no
-    DCE).  v5e nominal is 197 TF/s; this typically measures ~175 TF/s."""
+    dependent m^3 matmuls inside one call (no DCE).  v5e nominal is 197
+    TF/s.  Timed on the DEVICE plane when a profiler trace is available —
+    the wall-clock reading absorbs tunnel stalls and once read 96-110 TF/s
+    while the conv kernel itself sustained ~152 TF/s on-device (GOLDEN r3),
+    which pushed `mxu_util_*_measured` past 1.0; wall is the fallback."""
     import jax
     import jax.numpy as jnp
 
@@ -142,11 +145,14 @@ def calibrate_peak_bf16(m=4096, reps=16, iters=3):
         return c
 
     _sync(f(a, b))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f(a, b)
-    _sync(r)
-    dt = (time.perf_counter() - t0) / iters
+    dt = profile_device_time(lambda: f(a, b), logdir="/tmp/pw_bench_peak",
+                             iters=iters)
+    if not dt:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(a, b)
+        _sync(r)
+        dt = (time.perf_counter() - t0) / iters
     return 2.0 * m * m * m * reps / dt
 
 
