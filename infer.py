@@ -131,14 +131,18 @@ def serve(args, cfg, model, variables):
         scene_axis = "space" if args.sp > 1 else None
 
     def run(xyz, feats):
+        # per-request compile visibility (VERDICT r4 task 9): the engine
+        # reports whether THIS request had to build new programs (a
+        # profile-covered request reports compiled: False)
+        ev = {}
         out = stream_apply_layered(
             apply_layered, xyz, feats, radii=cfg.radii,
             tile_size=args.tile_size, out_dim=cfg.num_classes,
             tile_batch=args.tile_batch, length_profiles=profiles,
-            mesh=mesh, scene_axis=scene_axis,
+            mesh=mesh, scene_axis=scene_axis, events=ev,
         )
         save_profiles(args.profile_file, profiles)
-        return out
+        return out, ev
 
     if args.warm_points > 0:
         t0 = time.time()
@@ -168,13 +172,16 @@ def serve(args, cfg, model, variables):
                     if req.endswith(".npy") else req + ".pred.npy"
             t_load = time.time() - t0
             t0 = time.time()
-            logits = run(xyz, scene_features(cfg, xyz, rgb))
+            logits, ev = run(xyz, scene_features(cfg, xyz, rgb))
             dt = time.time() - t0
             pred = logits.argmax(axis=1).astype(np.int32)
             rec = {"scene": req, "n_points": len(xyz),
                    "seconds": round(dt, 3),
                    "pts_per_s": round(len(xyz) / dt),
-                   "load_s": round(t_load, 3)}
+                   "load_s": round(t_load, 3),
+                   "compiled": bool(ev.get("compiled", False)),
+                   "new_programs": int(ev.get("new_programs", 0)),
+                   "compile_s": round(float(ev.get("warm_s", 0.0)), 2)}
             if out_path:
                 np.save(out_path, pred)
                 rec["output"] = out_path
@@ -318,19 +325,24 @@ def main():
         profiles = load_profiles(args.profile_file)
         for rep in range(max(1, args.repeat)):
             t0 = time.time()
+            ev = {}
             logits = stream_apply_layered(
                 apply_layered, xyz, feats,
                 radii=cfg.radii, tile_size=args.tile_size,
                 out_dim=cfg.num_classes, tile_batch=args.tile_batch,
                 progress=prog if rep == 0 else None, mesh=mesh,
                 scene_axis=scene_axis, length_profiles=profiles,
+                events=ev,
             )
             dt_rep = time.time() - t0
             if rep == 0:
                 save_profiles(args.profile_file, profiles)
             if args.repeat > 1:
                 print(f"# pass {rep}: {dt_rep:.2f}s -> "
-                      f"{len(xyz)/dt_rep:.0f} pts/s", flush=True)
+                      f"{len(xyz)/dt_rep:.0f} pts/s, compiled="
+                      f"{bool(ev.get('compiled'))}"
+                      f" ({ev.get('new_programs', 0)} programs,"
+                      f" {ev.get('warm_s', 0.0):.1f}s warm)", flush=True)
     else:
         @jax.jit
         def apply_p(v, pts, fts, mask):

@@ -241,6 +241,7 @@ def stream_apply_layered(
     data_axis: str = "data",
     scene_axis: str | None = None,
     length_profiles: dict | None = None,
+    events: dict | None = None,
 ) -> np.ndarray:
     """Exact streaming with LAYER-WISE SHRINKING HALOS.
 
@@ -274,6 +275,15 @@ def stream_apply_layered(
     existing entry covers the new scene and merged up otherwise, so program
     compiles amortize across requests instead of recurring per scene.
 
+    ``events``: optional dict the engine fills with compile visibility for
+    this call (VERDICT r4 task 9): ``new_programs`` = bucket groups whose
+    (schedule, mesh) key was NOT already warm in this process — each one
+    pays a program build (fresh 20-60 s compile, or a persistent-cache
+    executable load) during the call; ``compiled`` = bool(new_programs);
+    ``warm_s`` = seconds the warm thread spent building them (0.0 when the
+    first real dispatch paid instead).  A profile-covered repeat request
+    reports ``compiled: False``.
+
     ``scene_axis`` (requires ``mesh``): ALSO shard the device-resident scene
     arrays by rows over this mesh axis (SURVEY section 5 long-context tier
     2).  Per-tile compute is already bounded by the bucket ladder — the ONLY
@@ -289,6 +299,7 @@ def stream_apply_layered(
     import concurrent.futures
     import queue as queue_mod
     import threading
+    import time
 
     from pointwise_tpu.native import morton_codes
 
@@ -413,6 +424,22 @@ def stream_apply_layered(
             length_profiles[b] = (tbs, lengths)
         meta[b] = (tbs, lengths)
 
+    def _wkey(b):
+        tbs, lengths = meta[b]
+        return (id(apply_fn), b, tbs, lengths, data_axis, scene_axis,
+                None if mesh is None else
+                tuple(sorted(mesh.shape.items())))
+
+    # Compile visibility (VERDICT r4 task 9): every group whose key is not
+    # already warm pays a program build (compile or persistent-cache load)
+    # somewhere in this call — count them NOW, before the warm thread runs,
+    # so the caller can report it per request.
+    _new_groups = [b for b in sorted(groups) if _wkey(b) not in _WARMED]
+    if events is not None:
+        events["new_programs"] = len(_new_groups)
+        events["compiled"] = bool(_new_groups)
+        events["warm_s"] = 0.0
+
     def warm_group(b):
         """Compile (or persistent-cache-load) one bucket group's programs on
         a dummy chunk.  Group programs are big (20-60 s compiles); round 2
@@ -424,11 +451,10 @@ def stream_apply_layered(
         covers the request must not pay the dummy passes again per request."""
         try:
             tbs, lengths = meta[b]
-            wkey = (id(apply_fn), b, tbs, lengths, data_axis, scene_axis,
-                    None if mesh is None else
-                    tuple(sorted(mesh.shape.items())))
+            wkey = _wkey(b)
             if wkey in _WARMED:
                 return
+            t_warm = time.perf_counter()
             cand = put_rows(np.zeros((tbs, lengths[0]), np.int32))
             ctr = put_rows(np.zeros((tbs, 3), np.float32))
             pts_d, fts_d = stage(scene_xyz, scene_fts, cand, ctr,
@@ -443,6 +469,10 @@ def stream_apply_layered(
                 lengths,
             )
             _WARMED.add(wkey)
+            if events is not None:
+                # single warm thread writes; caller reads after the join at
+                # the end of this call, so no lock is needed
+                events["warm_s"] += time.perf_counter() - t_warm
         except Exception:
             pass                      # the real call will surface any error
 

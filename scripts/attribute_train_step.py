@@ -98,13 +98,20 @@ def main():
     for plane in pd.planes:
         if not plane.name.startswith("/device:"):
             continue
+        # module accounting mirrors runtime.profile_device_time (ADVICE r4):
+        # sum ONLY jit-prefixed events, take the per-plane MAX over lines —
+        # summing whole mixed lines across planes inflated module_total
+        plane_module = 0.0
         for line in plane.lines:
             events = list(line.events)
             if not events:
                 continue
             is_module = any(e.name.startswith("jit") for e in events)
             if is_module:
-                module_total += sum(e.duration_ns for e in events)
+                plane_module = max(
+                    plane_module,
+                    sum(e.duration_ns for e in events
+                        if e.name.startswith("jit")))
             elif "async" in line.name.lower() or "copy" in line.name.lower():
                 # async-copy events overlap each other; skip (GOLDEN r4)
                 continue
@@ -114,6 +121,7 @@ def main():
                 op_lines += 1
                 for e in events:
                     op_totals[e.name] += e.duration_ns
+        module_total += plane_module
     per = 1e-6 / args.steps  # ns -> ms/call
     print(f"module line total: {module_total * per:.3f} ms/step "
           f"({args.steps} steps, {op_lines} op lines)")

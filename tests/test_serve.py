@@ -73,6 +73,13 @@ def test_infer_serve_keepalive(tmp_path, extra):
     assert second["accuracy"] == first["accuracy"]
     assert second["miou"] == first["miou"]
 
+    # compile visibility (VERDICT r4 task 9): the first request builds the
+    # bucket-group programs (no warm-up ran), the profile-covered repeat
+    # request must NOT — an operator can see a mid-request compile stall
+    assert first["compiled"] is True and first["new_programs"] >= 1
+    assert second["compiled"] is False and second["new_programs"] == 0
+    assert second["compile_s"] == 0.0
+
     # --profile-file persisted something a restarted server can load
     sys.path.insert(0, os.getcwd())
     try:
