@@ -157,3 +157,61 @@ def segmentation_scene(seed: int, num_objects: int = 8, points_per_obj: int = 51
     lab = np.concatenate(lab)
     perm = rng.permutation(len(xyz))
     return xyz[perm], rgb[perm], lab[perm]
+
+
+# NYU-40-style palette: 4 canonical colors x 10 primitive shapes = 40
+# separable (shape, color) classes.  Colors are far apart in RGB so class =
+# f(geometry, color) is learnable from the SceneNN input contract (RGB-only
+# features, in_features=3; geometry enters through the conv).
+_NYU40_PALETTE = np.array(
+    [[0.9, 0.15, 0.15], [0.15, 0.9, 0.15], [0.2, 0.3, 0.95], [0.9, 0.85, 0.2]],
+    np.float32,
+)
+
+
+def scenenn_scene(seed: int, num_objects: int = 48, points_per_obj: int = 512,
+                  room: float = 8.0, num_classes: int = 40):
+    """A procedural NYU-40-style indoor scene (SceneNN stand-in; SURVEY C7 /
+    BASELINE.json config 2 — the real release replaces this via --data-dir).
+
+    Unlike :func:`segmentation_scene` (5 classes, random object colors),
+    every one of ``num_classes`` labels is a DISTINCT (primitive shape,
+    palette color) pair: class c -> shape ``c % 10``, color
+    ``_NYU40_PALETTE[c // 10]`` + per-object jitter.  Label 0 is the gray
+    floor (walls/clutter analog), so a 40-way head is genuinely exercised:
+    the net must read BOTH geometry and RGB to separate the 40 classes.
+
+    Returns xyz (M,3) f32, rgb (M,3) f32 in [0,1], labels (M,) i32.
+    """
+    if num_classes > 1 + NUM_CLASSES * len(_NYU40_PALETTE):
+        raise ValueError(f"at most {1 + NUM_CLASSES * len(_NYU40_PALETTE)} "
+                         f"classes supported, got {num_classes}")
+    rng = np.random.RandomState(seed)
+    xyz, rgb, lab = [], [], []
+    m_floor = num_objects * points_per_obj // 2
+    fx = rng.uniform(0, room, (m_floor, 2))
+    xyz.append(np.stack([fx[:, 0], fx[:, 1],
+                         np.zeros(m_floor)], 1))
+    rgb.append(np.tile([[0.5, 0.5, 0.5]], (m_floor, 1))
+               + rng.uniform(-0.05, 0.05, (m_floor, 3)))
+    lab.append(np.zeros(m_floor, np.int32))
+    for i in range(num_objects):
+        # cycle through the class list so every class appears at roughly
+        # equal frequency across a scene set (pure randint leaves tail
+        # classes untrained at small num_objects)
+        cls = 1 + (i * 7 + rng.randint(0, 3)) % (num_classes - 1)
+        shape_id = (cls - 1) % NUM_CLASSES
+        color = _NYU40_PALETTE[(cls - 1) // NUM_CLASSES]
+        p = make_shape(rng, shape_id, points_per_obj) * rng.uniform(0.25, 0.45)
+        center = np.array([rng.uniform(0.5, room - 0.5),
+                           rng.uniform(0.5, room - 0.5),
+                           rng.uniform(0.3, 0.8)])
+        xyz.append(p + center)
+        c = np.clip(color + rng.uniform(-0.06, 0.06, 3), 0, 1)
+        rgb.append(np.tile(c[None], (points_per_obj, 1)))
+        lab.append(np.full(points_per_obj, cls, np.int32))
+    xyz = np.concatenate(xyz).astype(np.float32)
+    rgb = np.clip(np.concatenate(rgb), 0, 1).astype(np.float32)
+    lab = np.concatenate(lab)
+    perm = rng.permutation(len(xyz))
+    return xyz[perm], rgb[perm], lab[perm]

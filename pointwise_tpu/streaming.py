@@ -303,6 +303,14 @@ def stream_apply_layered(
 
     from pointwise_tpu.native import morton_codes
 
+    # phase wall-times for the caller (events dict): where a streaming call
+    # spends its life on this 1-core host — presort/build (serial host),
+    # pack (producer thread busy), wait_packer (dispatch starved by the
+    # packer), dispatch (stage+apply calls), flush (device->host fetch +
+    # scatter).  Negligible overhead (a perf_counter pair per chunk).
+    ev_t = collections.defaultdict(float)
+    t_start = time.perf_counter()
+
     xyz_in = np.asarray(xyz, np.float32)
     features_in = np.asarray(features, np.float32)
     # GLOBAL morton pre-sort, once: every per-tile candidate set is then a
@@ -316,6 +324,7 @@ def stream_apply_layered(
     # halos[l] = receptive field remaining BEFORE layer l
     halos = [sum(radii[l:]) for l in range(len(radii))]
     L = len(radii)
+    ev_t["presort_s"] = time.perf_counter() - t_start
     grid = GridIndex(xyz, tile_size)
 
     def build_job(c):
@@ -328,9 +337,11 @@ def stream_apply_layered(
 
     # schedule building is pure host work (native box queries + sorts, all
     # GIL-releasing) — build every tile's schedule in parallel
+    t0 = time.perf_counter()
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         jobs = [j for j in ex.map(build_job, grid.nonempty_cells())
                 if j is not None]
+    ev_t["build_s"] = time.perf_counter() - t0
 
     groups: dict[int, list] = {}
     for job in jobs:
@@ -385,12 +396,16 @@ def stream_apply_layered(
 
     def flush():
         nonlocal done
+        t0 = time.perf_counter()
         logits_d, interiors, b = pending.popleft()
         logits = np.asarray(logits_d, np.float32)   # device->host barrier
+        ev_t["flush_fetch_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         for t, interior_ids in enumerate(interiors):
             # interior ids live in SORTED index space; map back through the
             # morton pre-sort permutation into the caller's point order
             out[order[interior_ids]] = logits[t, : len(interior_ids)]
+        ev_t["flush_scatter_s"] += time.perf_counter() - t0
         done += len(interiors)
         if progress:
             progress(done, len(jobs), b)
@@ -509,6 +524,7 @@ def stream_apply_layered(
                 tbs, lengths = meta[b]
                 p0, p_last = lengths[0], lengths[-1]
                 for s in range(0, len(js), tbs):
+                    t0 = time.perf_counter()
                     chunk = js[s : s + tbs]
                     cand_h = np.zeros((tbs, p0), np.int32)
                     ctr_h = np.zeros((tbs, 3), np.float32)
@@ -526,6 +542,7 @@ def stream_apply_layered(
                             sels[l][t, : len(sel[l])] = sel[l]
                             skips[l][t, : len(skip[l])] = skip[l]
                     interiors = [c[1] for c in chunk]
+                    ev_t["pack_s"] += time.perf_counter() - t0
                     q.put((b, lengths, cand_h, ctr_h, cnt, sels, skips,
                            interiors))
         except BaseException as e:   # surface packer failures in the caller
@@ -538,15 +555,20 @@ def stream_apply_layered(
     packer.start()
     try:
         while True:
+            t0 = time.perf_counter()
             item = q.get()
+            ev_t["wait_packer_s"] += time.perf_counter() - t0
             if item is None:
                 break
             if isinstance(item, BaseException):
                 raise item
             b, lengths, cand_h, ctr_h, cnt, sels, skips, interiors = item
+            t0 = time.perf_counter()
             warm_done[b].wait()   # group's programs traced by the warm thread
+            ev_t["wait_warm_s"] += time.perf_counter() - t0
             # async: stage (device gather) + dispatch while the previous
             # chunk computes; only index/schedule arrays cross the host link
+            t0 = time.perf_counter()
             pts_d, fts_d = stage(scene_xyz, scene_fts,
                                  put_rows(cand_h),
                                  put_rows(ctr_h),
@@ -554,6 +576,7 @@ def stream_apply_layered(
             logits_d = apply_fn(pts_d, fts_d, put_rows(cnt),
                                 tuple(put_rows(x) for x in sels),
                                 tuple(put_rows(x) for x in skips), lengths)
+            ev_t["dispatch_s"] += time.perf_counter() - t0
             pending.append((logits_d, interiors, b))
             if len(pending) >= 2:
                 flush()
@@ -573,4 +596,8 @@ def stream_apply_layered(
         flush()
     if warm_thread is not None:       # avoid interpreter-shutdown races
         warm_thread.join()
+    ev_t["total_s"] = time.perf_counter() - t_start
+    ev_t["n_jobs"] = len(jobs)
+    if events is not None:
+        events.update({k: round(float(v), 4) for k, v in ev_t.items()})
     return out

@@ -92,6 +92,14 @@ _REGISTRY = {
     "scenenn": SegmentationConfig(
         name="scenenn", num_classes=40, in_features=3, block_size=1.5
     ),
+    # tiny SceneNN config (CI: the 40-way NYU head trains/evals end-to-end
+    # on the CPU backend against the procedural scenenn_scene stand-in)
+    "scenenn_tiny": SegmentationConfig(
+        name="scenenn_tiny", num_classes=40, in_features=3, num_points=256,
+        batch_size=4, block_size=1.5, channels=(16, 16), radii=(0.3, 0.6),
+        head_dims=(32,), impl="reference", global_context=False,
+        log_every=1, eval_every=10_000, checkpoint_every=10_000,
+    ),
     "s3dis": SegmentationConfig(name="s3dis"),
     "s3dis_synthetic": SegmentationConfig(
         name="s3dis_synthetic", num_classes=5, batch_size=8

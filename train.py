@@ -195,12 +195,19 @@ def train_classification(cfg: ClassificationConfig, args):
 
 
 def train_segmentation(cfg: SegmentationConfig, args):
-    from pointwise_tpu.data import s3dis
+    from pointwise_tpu.data import s3dis, scenenn
 
     # hold out whole ROOMS for periodic eval: overlapping-stride blocks from
     # one room share points, so a block-level split would leak eval points
     # into training and bias the heldout metric optimistically.
-    rooms = s3dis.load_rooms(cfg.data_dir or args.data_dir, seed=cfg.seed)
+    if cfg.name.startswith("scenenn"):
+        # NYU-40 scene contract (real release or the 40-class procedural
+        # stand-in) — the s3dis loader's 5-class rooms would leave the
+        # 40-way head untrained past class 4 (eval.py matches this branch)
+        rooms = scenenn.load_scenes(cfg.data_dir or args.data_dir,
+                                    seed=cfg.seed)
+    else:
+        rooms = s3dis.load_rooms(cfg.data_dir or args.data_dir, seed=cfg.seed)
     if len(rooms) >= 2:
         n_eval_rooms = max(1, len(rooms) // 10)
         eval_blocks = s3dis.training_blocks(cfg, rooms=rooms[:n_eval_rooms])
