@@ -199,7 +199,31 @@ def bench_seg_step(B=8, N=4096, steps=8):
         m = trainer.step(batch, rng)
     _sync(m)
     dt = (time.perf_counter() - t0) / steps
-    return B * N / dt, dt
+
+    # DEVICE-plane reading + executed-MXU utilization (VERDICT r4 task 1).
+    # The step is 11 cond-wrapped conv kernels (4 fwd + 4 dW + 3 dX,
+    # layer-0 dX DCE'd — GOLDEN round-5 seg attribution) each walking the
+    # full candidate set (morton octants of a 1 m block all touch, so the
+    # all-pairs walk IS the executed walk); model each kernel as one
+    # fwd-equivalent (binning + combine), conservative for dX.
+    extra = {}
+    try:
+        dt_dev = profile_device_time(
+            lambda: trainer.step(batch, rng), logdir="/tmp/pw_bench_seg",
+            iters=4)
+        if dt_dev:
+            extra["seg_step_device_ms"] = dt_dev * 1e3
+            extra["seg_pts_per_s_device"] = B * N / dt_dev
+            cinp = coutp = 128
+            flops_bin = B * (N // 128) * 27 * 2 * 128 * N * cinp
+            flops_w = B * (N // 128) * 27 * 2 * 128 * cinp * coutp
+            # fwd + dW per layer, dX for all but layer 0 (DCE'd)
+            n_kernels = 2 * len(cfg.radii) + (len(cfg.radii) - 1)
+            extra["seg_mxu_util_executed"] = (
+                n_kernels * (flops_bin + flops_w) / dt_dev / 197e12)
+    except Exception as e:
+        extra["seg_device_error"] = repr(e)[:120]
+    return B * N / dt, dt, extra
 
 
 def bench_streaming(n_points=200_000, passes=2):
@@ -524,9 +548,11 @@ def main():
         diag["c64_error"] = repr(e)[:120]
 
     try:
-        seg_pps, seg_dt = bench_seg_step()
+        seg_pps, seg_dt, seg_extra = bench_seg_step()
         diag["seg_step_ms"] = round(seg_dt * 1e3, 3)
         diag["seg_pts_per_s"] = round(seg_pps)
+        diag.update({k: (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in seg_extra.items()})
     except Exception as e:
         diag["seg_bench_error"] = repr(e)
 
@@ -542,6 +568,17 @@ def main():
         diag["stream_steady_s"] = round(stream_dt, 2)
     except Exception as e:
         diag["stream_bench_error"] = repr(e)[:200]
+
+    # big-scene regime (VERDICT r4 task 2): the 1M-pt steady state is the
+    # BASELINE config-5 workload; its per-point rate differs from the 200K
+    # scene's (bigger buckets, longer schedules), so the driver must see it
+    # as its own machine-readable field, not GOLDEN prose.
+    try:
+        big_pps, big_dt = bench_streaming(n_points=1_000_000)
+        diag["stream_1m_pts_per_s"] = round(big_pps)
+        diag["stream_1m_steady_s"] = round(big_dt, 2)
+    except Exception as e:
+        diag["stream_1m_bench_error"] = repr(e)[:200]
 
     try:
         tf_pps = bench_tf_cpu_op()

@@ -63,22 +63,36 @@ def load_scene_file(path):
 
 
 def load_profiles(path):
-    """Length-profile persistence (JSON {bucket: [tbs, [lengths...]]})."""
+    """Length-profile persistence (JSON {key: [tbs, [lengths...]]}).
+
+    Keys are either a p0 bucket (int, small-tile groups) or a full padded
+    schedule (tuple of ints, big-tile tbs==1 groups — see the round-5
+    per-schedule grouping in streaming.py); tuples serialize as
+    comma-joined strings."""
     import os
 
     if not path or not os.path.exists(path):
         return {}
     with open(path) as f:
         raw = json.load(f)
-    return {int(b): (int(v[0]), tuple(int(x) for x in v[1]))
+
+    def key(b):
+        return (tuple(int(x) for x in b.split(","))
+                if "," in b else int(b))
+
+    return {key(b): (int(v[0]), tuple(int(x) for x in v[1]))
             for b, v in raw.items()}
 
 
 def save_profiles(path, profiles):
     if not path:
         return
+
+    def key(b):
+        return ",".join(str(x) for x in b) if isinstance(b, tuple) else str(b)
+
     with open(path, "w") as f:
-        json.dump({str(b): [v[0], list(v[1])] for b, v in profiles.items()},
+        json.dump({key(b): [v[0], list(v[1])] for b, v in profiles.items()},
                   f)
 
 

@@ -343,11 +343,6 @@ def stream_apply_layered(
                 if j is not None]
     ev_t["build_s"] = time.perf_counter() - t0
 
-    groups: dict[int, list] = {}
-    for job in jobs:
-        b = _bucket_for(int(job[3][0]), buckets)
-        groups.setdefault(b, []).append(job)
-
     ladder = tuple(sorted({128, 256} | set(buckets)))
 
     def pad_len(n):
@@ -357,6 +352,56 @@ def stream_apply_layered(
         if n <= ladder[-1]:
             return _bucket_for(n, ladder)
         return int(-(-n // 8192) * 8192)
+
+    # Grouping (round-5 big-scene fix, GOLDEN streaming attribution): the
+    # per-group schedule is the elementwise MAX over members, so lumping
+    # every big tile into one p0 bucket pads corner tiles (small halos) up
+    # to interior-tile maxima — measured 1.47x pair-cost inflation on the
+    # 1M scene, the larger half of its 2x per-point gap vs 200K.  Big tiles
+    # run one per chunk anyway (tbs == 1), so giving each distinct padded
+    # schedule its OWN group removes the inflation without fragmenting
+    # chunk batching; small tiles (tbs > 1) keep the bucket key so chunks
+    # stay full.  Group keys are therefore int (bucket) or tuple (padded
+    # per-level lengths) — order with _gorder where sorting matters.
+    groups: dict = {}
+    for job in jobs:
+        counts = job[3]
+        b = _bucket_for(int(counts[0]), buckets)
+        tbs_b = max(1, min(tile_batch, (8192 * tile_batch) // b))
+        key = (tuple(pad_len(int(c)) for c in counts) if tbs_b <= 1 else b)
+        groups.setdefault(key, []).append(job)
+
+    # Coalesce near-identical big-tile schedules: a 1M scene's 16 tiles are
+    # otherwise 16 distinct programs (~12 s program build each on first
+    # contact).  Greedy merge into the costliest kept schedule whenever the
+    # per-tile padded pair-cost inflation stays under 10% — bounds program
+    # count at a bounded compute premium (exact either way: extra slots are
+    # sentinel-dead).
+    def _sched_cost(ls):
+        return sum(a * c for a, c in zip(ls, ls[1:]))
+
+    tkeys = sorted((k for k in groups if not isinstance(k, int)),
+                   key=_sched_cost, reverse=True)
+    kept: list = []
+    for k in tkeys:
+        merged = False
+        for i, kk in enumerate(kept):
+            m = tuple(max(a, c) for a, c in zip(kk, k))
+            if _sched_cost(m) <= 1.10 * _sched_cost(k):
+                members = groups.pop(k) + groups.pop(kk)
+                if m in groups:                   # rare 3-way union
+                    groups[m].extend(members)
+                else:
+                    groups[m] = members
+                kept[i] = m
+                kept = list(dict.fromkeys(kept))
+                merged = True
+                break
+        if not merged:
+            kept.append(k)
+
+    def _gorder(k):
+        return (k,) if isinstance(k, int) else k
 
     if scene_axis is not None and mesh is None:
         raise ValueError("scene_axis requires a mesh")
@@ -414,11 +459,15 @@ def stream_apply_layered(
     # counts are non-increasing and padding is monotone); per-chunk
     # schedules would compile per chunk.
     meta = {}
-    for b in sorted(groups):
-        tbs = max(1, min(tile_batch, (8192 * tile_batch) // b))
+    for b in sorted(groups, key=_gorder):
+        p0 = b if isinstance(b, int) else b[0]
+        tbs = max(1, min(tile_batch, (8192 * tile_batch) // p0))
         tbs = -(-tbs // n_data) * n_data       # divisible by the mesh
-        gmax = np.max(np.stack([j[3] for j in groups[b]]), axis=0)
-        lengths = tuple(pad_len(int(m)) for m in gmax)
+        if isinstance(b, int):
+            gmax = np.max(np.stack([j[3] for j in groups[b]]), axis=0)
+            lengths = tuple(pad_len(int(m)) for m in gmax)
+        else:
+            lengths = b       # per-schedule group: the key IS the schedule
         if length_profiles is not None:
             # Keep-alive serving: ``lengths`` depends on this SCENE's
             # per-group tile maxima, so every new scene would otherwise risk
@@ -436,6 +485,21 @@ def stream_apply_layered(
                     and len(prof[1]) == len(lengths)):
                 lengths = tuple(max(int(p), l)
                                 for p, l in zip(prof[1], lengths))
+            elif prof is None and not isinstance(b, int):
+                # tuple-keyed (big-tile) groups: reuse the cheapest existing
+                # entry that elementwise covers this schedule — its program
+                # is already warm in a keep-alive server, and the extra
+                # padding is sentinel-dead (exact)
+                best = None
+                for k2, (t2, l2) in length_profiles.items():
+                    if (not isinstance(k2, int) and t2 == tbs
+                            and len(l2) == len(lengths)
+                            and all(a >= c for a, c in zip(l2, lengths))):
+                        cost = sum(a * c for a, c in zip(l2, l2[1:]))
+                        if best is None or cost < best[0]:
+                            best = (cost, tuple(int(x) for x in l2))
+                if best is not None:
+                    lengths = best[1]
             length_profiles[b] = (tbs, lengths)
         meta[b] = (tbs, lengths)
 
@@ -449,7 +513,8 @@ def stream_apply_layered(
     # already warm pays a program build (compile or persistent-cache load)
     # somewhere in this call — count them NOW, before the warm thread runs,
     # so the caller can report it per request.
-    _new_groups = [b for b in sorted(groups) if _wkey(b) not in _WARMED]
+    _new_groups = [b for b in sorted(groups, key=_gorder)
+                   if _wkey(b) not in _WARMED]
     if events is not None:
         events["new_programs"] = len(_new_groups)
         events["compiled"] = bool(_new_groups)
@@ -499,10 +564,10 @@ def stream_apply_layered(
     # compiles cannot help on this 1-core host anyway.
     import os as _os
     _warm = _os.environ.get("POINTWISE_STREAM_WARM", "1") != "0"
-    warm_done = {b: threading.Event() for b in sorted(groups)}
+    warm_done = {b: threading.Event() for b in groups}
 
     def warm_all():
-        for b in sorted(groups):
+        for b in sorted(groups, key=_gorder):
             warm_group(b)
             warm_done[b].set()
 
@@ -519,7 +584,7 @@ def stream_apply_layered(
         dispatch critical path (round-2 profile: packing ran serially with
         the device).  Bounded queue keeps a few chunks staged ahead."""
         try:
-            for b in sorted(groups):
+            for b in sorted(groups, key=_gorder):
                 js = groups[b]
                 tbs, lengths = meta[b]
                 p0, p_last = lengths[0], lengths[-1]

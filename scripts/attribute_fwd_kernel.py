@@ -56,6 +56,9 @@ NOMINAL_TF = 197e12
 
 def _make_fn(pts, feats, w, **spec_overrides):
     orig_spec = opmod.PwConvSpec
+    # tile_m is an op-level knob (the geometry layout must tile to match),
+    # not a spec override — route it through the call
+    op_tile_m = spec_overrides.pop("tile_m", None)
 
     def patched(*a, **kw):
         kw["resident"] = True
@@ -65,7 +68,8 @@ def _make_fn(pts, feats, w, **spec_overrides):
     opmod.PwConvSpec = patched
     try:
         fn = jax.jit(lambda f, w_: pointwise_conv(
-            pts, f, w_, None, radius=RADIUS, precision="bfloat16"))
+            pts, f, w_, None, radius=RADIUS, precision="bfloat16",
+            tile_m=op_tile_m))
         # jit is lazy: force tracing+compile while the spec patch is active
         # (the spec_overrides kwargs are the whole point of this function).
         sync(fn(feats, w))
@@ -165,6 +169,43 @@ def sweep(cin, iters):
     ideal = 27 * mm_ideal + fin_ideal
     print(f"  ideal-compute / program = {ideal/prog27:.3f} "
           f"(= the executed-utilization reading)")
+
+
+def ksweep2(cin, iters):
+    """VERDICT r4 weak #2: 'pipeline fill per j-step' predicts a tile_m=1024
+    win (half the j-steps), but the round-3 packing sweep measured tile_m
+    512->1024 FLAT.  Probe both hypotheses at once: a dense K grid below 18
+    (is the slope nonlinear in the early planes?) x tile_m in {512, 1024}
+    (does the fixed overhead scale with j-steps?).  If the overhead is
+    per-j-step fill, intercepts should differ by ~2x between tile_m's; if
+    the early-plane slope is higher, the K curve is convex near 0."""
+    cout = cin
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    pts = jax.random.uniform(k[0], (B, N, 3), minval=-1, maxval=1)
+    feats = jax.random.normal(k[1], (B, N, cin))
+    w = jax.random.normal(k[2], (27, cin, cout)) * 0.1
+
+    cin_p = 128
+    per_plane_tf = 2 * B * N * N * cin_p / 1e12
+    mm_ideal = per_plane_tf / NOMINAL_TF * 1e15
+    print(f"model: {mm_ideal:.4f} ms/plane at nominal")
+    ks = [0, 3, 6, 9, 18, 27]
+    for tm in (512, 1024):
+        rows = []
+        for K in ks:
+            fn = _make_fn(pts, feats, w, mask_mode="compare", num_emit=K,
+                          tile_m=tm)
+            prog, kern, stage = _detail(fn, feats, w, iters)
+            rows.append((K, prog, kern))
+            print(f"  tm={tm} K={K:2d}: program {prog:7.3f} ms, "
+                  f"kernel {kern:7.3f} ms, staging {stage:6.3f} ms",
+                  flush=True)
+        for (k0, p0, _), (k1, p1, _) in zip(rows, rows[1:]):
+            sl = (p1 - p0) / (k1 - k0)
+            print(f"  tm={tm} slope K{k0}->K{k1}: {sl:.4f} ms/plane "
+                  f"({sl / mm_ideal:.2f}x ideal)")
+        print(f"  tm={tm} intercept (K=0 program): {rows[0][1]:.3f} ms",
+              flush=True)
 
 
 def _make_grad_fn(pts, feats, w, wrt, **spec_overrides):
@@ -297,6 +338,9 @@ def main():
     elif "--bwd" in sys.argv:
         # --flip: the dx_flip on-chip A/B (GOLDEN round-4 backward section)
         bwd(cin, iters, dx_flip="--flip" in sys.argv)
+    elif "--ksweep2" in sys.argv:
+        # VERDICT r4 weak #2: dense K grid x tile_m (see ksweep2 docstring)
+        ksweep2(cin, iters)
     else:
         sweep(cin, iters)
 

@@ -61,15 +61,12 @@ def main():
 
     variants = [("auto", None, None)]
     if not args.quick:
-        # quick pass showed every kernel within ~20% of the ALL-PAIRS dense
-        # floor (~4.9 ms at peak for B8/N4096/c128): CSR's tile_m=512
-        # granularity barely prunes at r=0.1/0.2.  The full sweep probes
-        # finer candidate tiles (more pruning per unit overhead) + forced
-        # arms as the baseline pair.
-        variants = [
-            ("csr", True, None), ("dense", False, None),
-            ("csr_tm256", True, 256), ("csr_tm128", True, 128),
-        ]
+        # Measured round 5 (GOLDEN seg attribution): finer candidate tiles
+        # LOSE (tm256/tm128 ~= dense at L0 — inactive CSR grid steps cost
+        # as much as the pruning saves, and 512-pt morton octants of a 1 m
+        # block all touch, so tm512 can't prune either) — the decisive
+        # comparison is forced csr vs forced dense per layer.
+        variants = [("csr", True, None), ("dense", False, None)]
 
     key = jax.random.PRNGKey(0)
     for li, (radius, cin, cout) in enumerate(layers):

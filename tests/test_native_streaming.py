@@ -259,6 +259,53 @@ def test_streaming_layered_length_profile_reuse():
             "profile entries must only grow (monotone merge)"
 
 
+def test_streaming_big_tile_per_schedule_groups():
+    # Round-5 big-scene fix: tiles that run one-per-chunk (tbs == 1) are
+    # grouped by their OWN padded schedule, not the shared p0 bucket —
+    # lumping them padded corner tiles up to interior-tile maxima (1.47x
+    # pair-cost inflation measured on the 1M scene, GOLDEN round 5).  A
+    # density gradient puts two big tiles in the same p0 bucket with
+    # different deeper-level schedules; the engine must build >1 program
+    # (events.new_programs), and the packer must fit every chunk into its
+    # group's own lengths (it would crash on a mis-sized schedule).
+    from pointwise_tpu.streaming import stream_apply_layered
+
+    rng = np.random.RandomState(0)
+    # two 4 m tiles with a strong density gradient: tile 0 dense ~26K pts,
+    # tile 1 sparse ~14K pts -> same doubling bucket, different schedules
+    a = rng.uniform((0, 0, 0), (4, 4, 1.0), (26000, 3))
+    b = rng.uniform((4, 0, 0), (8, 4, 1.0), (14000, 3))
+    xyz = np.concatenate([a, b]).astype(np.float32)
+    feats = rng.uniform(0, 1, (len(xyz), 3)).astype(np.float32)
+
+    def dummy_apply(pts, fts, cnt, sels, skips, lengths):
+        return jnp.zeros((pts.shape[0], lengths[-1], 3), jnp.float32)
+
+    ev = {}
+    out = stream_apply_layered(
+        dummy_apply, xyz, feats, radii=(0.3, 0.6), tile_size=4.0,
+        out_dim=3, tile_batch=1, events=ev)
+    assert out.shape == (len(xyz), 3)
+    assert ev["new_programs"] >= 2, ev   # per-schedule groups, not one bucket
+
+    # profile round-trip with tuple keys (infer.py persistence)
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.getcwd())
+    try:
+        from infer import load_profiles, save_profiles
+    finally:
+        _sys.path.pop(0)
+    profiles: dict = {}
+    stream_apply_layered(
+        dummy_apply, xyz, feats, radii=(0.3, 0.6), tile_size=4.0,
+        out_dim=3, tile_batch=1, length_profiles=profiles)
+    assert any(isinstance(k, tuple) for k in profiles), profiles
+    path = "/tmp/pw_test_profiles_tuple.json"
+    save_profiles(path, profiles)
+    assert load_profiles(path) == profiles
+
+
 @pytest.mark.slow
 def test_streaming_bucket_ladder_invariance():
     # SURVEY.md section 4 tier 2: the same scene through two bucket ladders
