@@ -29,6 +29,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="csr auto only, default tiles")
+    ap.add_argument("--subblock", action="store_true",
+                    help="sub-block overlap-save variants, small-radius "
+                         "layers only (round-5 seg lever)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--points", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=4)
@@ -59,23 +62,39 @@ def main():
         layers.append((r, cin, cout))
         cin = cout
 
-    variants = [("auto", None, None)]
-    if not args.quick:
+    # variant = (name, csr, tile_m, subblock, subblock_cap)
+    variants = [("auto", None, None, None, None)]
+    if args.subblock:
+        # sub-block overlap-save (round-5 lever): only the small-radius
+        # layers can fit a useful cap — bigger radii hit the runtime dense
+        # fallback and just re-measure the baseline.
+        layers_filter = (0, 1)
+        variants = [
+            ("auto", None, None, None, None),
+            ("sub8", None, None, 8, None),          # cap = 3x512 = 1536
+            ("sub8_c3k", None, None, 8, 3072),
+            ("sub16_c2k", None, None, 16, 2048),
+        ]
+    elif not args.quick:
         # Measured round 5 (GOLDEN seg attribution): finer candidate tiles
         # LOSE (tm256/tm128 ~= dense at L0 — inactive CSR grid steps cost
         # as much as the pruning saves, and 512-pt morton octants of a 1 m
         # block all touch, so tm512 can't prune either) — the decisive
         # comparison is forced csr vs forced dense per layer.
-        variants = [("csr", True, None), ("dense", False, None)]
+        variants = [("csr", True, None, None, None),
+                    ("dense", False, None, None, None)]
 
     key = jax.random.PRNGKey(0)
     for li, (radius, cin, cout) in enumerate(layers):
+        if args.subblock and li not in layers_filter:
+            continue
         feats = jax.random.normal(jax.random.fold_in(key, li), (B, N, cin))
         w = jax.random.normal(jax.random.fold_in(key, 100 + li),
                               (27, cin, cout)) * 0.1
-        for name, csr, tile_m in variants:
+        for name, csr, tile_m, sub, sub_cap in variants:
             kw = dict(radius=radius, mask=mask, precision="bfloat16",
-                      csr=csr, tile_m=tile_m)
+                      csr=csr, tile_m=tile_m, subblock=sub,
+                      subblock_cap=sub_cap)
 
             fwd = jax.jit(lambda f, w_, kw=kw: pointwise_conv(
                 pts, f, w_, None, **kw))

@@ -535,3 +535,70 @@ def test_dx_flip_grid_and_csr_parity(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
                 err_msg=f"csr={csr} {name}")
+
+
+def _morton_sorted_problem(key, b=2, n=256, cin=5, cout=7, spread=1.0):
+    from pointwise_tpu.utils.spatial import morton_sort_batch
+
+    pts, feats, w, bias = make_problem(key, b=b, n=n, cin=cin, cout=cout,
+                                       spread=spread)
+    return morton_sort_batch(np.asarray(pts)), feats, w, bias
+
+
+def test_subblock_matches_dense_fwd_and_grads():
+    # round-5 sub-block overlap-save: candidate gather + bbox selection must
+    # reproduce the plain dense conv EXACTLY (same kernel underneath, just a
+    # restricted-but-complete candidate set) including dX through the
+    # gather's scatter-add transpose and dW/dbias.
+    pts, feats, w, bias = _morton_sorted_problem(jax.random.PRNGKey(31))
+    pts = jnp.asarray(pts)
+    kw = dict(radius=0.25, impl="pallas")
+
+    y_dense = pointwise_conv(pts, feats, w, bias, **kw)
+    y_sub = pointwise_conv(pts, feats, w, bias, subblock=4, **kw)
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_dense),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(sub):
+        def f(feats_, w_, b_):
+            y = pointwise_conv(pts, feats_, w_, b_, subblock=sub, **kw)
+            return jnp.sum(y ** 2)
+        return f
+
+    g_dense = jax.grad(loss(None), argnums=(0, 1, 2))(feats, w, bias)
+    g_sub = jax.grad(loss(4), argnums=(0, 1, 2))(feats, w, bias)
+    for a, b in zip(g_dense, g_sub):
+        # per-sub-block accumulation reorders the f32 sums (dbias sums B*S
+        # partials instead of B) — identical math, order-level round-off
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_subblock_overflow_falls_back_dense():
+    # a cap smaller than any group's candidate count must take the dense
+    # branch at runtime and stay exact (the cap picks the program, never
+    # the answer)
+    pts, feats, w, bias = _morton_sorted_problem(jax.random.PRNGKey(32),
+                                                 n=128)
+    pts = jnp.asarray(pts)
+    y_dense = pointwise_conv(pts, feats, w, bias, radius=2.5, impl="pallas")
+    y_sub = pointwise_conv(pts, feats, w, bias, radius=2.5, impl="pallas",
+                           subblock=4, subblock_cap=32)   # cap < group size
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_dense),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_subblock_masked_rows():
+    # masked (padding) candidates must not leak into any sub-block's
+    # neighborhoods, and masked centers must output zeros — same contract
+    # as the dense path
+    pts, feats, w, bias = _morton_sorted_problem(jax.random.PRNGKey(33))
+    pts = jnp.asarray(pts)
+    mask = jnp.ones(pts.shape[:2]).at[:, -40:].set(0.0)
+    y_dense = pointwise_conv(pts, feats, w, bias, radius=0.3, mask=mask,
+                             impl="pallas")
+    y_sub = pointwise_conv(pts, feats, w, bias, radius=0.3, mask=mask,
+                           impl="pallas", subblock=4)
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_dense),
+                               rtol=1e-6, atol=1e-6)
+    assert np.abs(np.asarray(y_sub)[:, -40:]).max() == 0.0
