@@ -144,6 +144,16 @@ def eval_segmentation_streaming(cfg: SegmentationConfig, args, scenes,
 
     from pointwise_tpu.streaming import stream_apply_layered
 
+    if cfg.global_context:
+        # a global-context checkpoint's head consumes the pooled features
+        # (extra 2C columns) — restoring it into the locality-only
+        # streaming net fails with an opaque shape error; fail with the fix
+        raise SystemExit(
+            f"--streaming needs a locality-only net, but config "
+            f"{cfg.name!r} trains with global_context=True (its head "
+            f"shapes include the pooled features).  Train/evaluate a "
+            f"*_local variant instead (e.g. s3dis_synthetic_local, "
+            f"scenenn_local), or use block voting for this checkpoint.")
     model = PointwiseSegmenter(
         num_classes=cfg.num_classes, channels=cfg.channels, radii=cfg.radii,
         head_dims=cfg.head_dims, dropout_rate=cfg.dropout, norm=cfg.norm,

@@ -994,12 +994,15 @@ def _boxes_adjacency(radius, d_max, lo_r, hi_r, lo_c, hi_c,
     jmap = jnp.where(slot < deg[..., None], jmap, last)
     fallback = jnp.max(deg) > dm
     if density_gate:
-        # Take the dense kernel when the adjacency is dense anyway (CSR's
-        # scalar-prefetch machinery is pure overhead when nearly every tile
-        # pair is active).
+        # Take the dense kernel when the adjacency is (near-)complete.
+        # Threshold measured round 5 (scripts/sweep_seg_conv.py, GOLDEN seg
+        # table): at B8/N4096/c124 forced CSR beats dense up through L2's
+        # ~0.8 mean density (25.79 vs 26.46 ms fwd+dW+dX) and loses only at
+        # FULL density (L3: 30.68 vs 27.43) — the old 0.75 threshold sent
+        # L2 dense, 2.5% off the per-layer best.
         n_cols = adj.shape[-1]
         fallback = fallback | (
-            jnp.mean(deg.astype(jnp.float32)) > 0.75 * n_cols
+            jnp.mean(deg.astype(jnp.float32)) > 0.9 * n_cols
         )
     return jmap, deg, fallback
 

@@ -92,6 +92,12 @@ _REGISTRY = {
     "scenenn": SegmentationConfig(
         name="scenenn", num_classes=40, in_features=3, block_size=1.5
     ),
+    # locality-only SceneNN (exact streaming eval/serving needs
+    # use_global_context=False — same pattern as s3dis_synthetic_local)
+    "scenenn_local": SegmentationConfig(
+        name="scenenn_local", num_classes=40, in_features=3,
+        block_size=1.5, global_context=False,
+    ),
     # tiny SceneNN config (CI: the 40-way NYU head trains/evals end-to-end
     # on the CPU backend against the procedural scenenn_scene stand-in)
     "scenenn_tiny": SegmentationConfig(

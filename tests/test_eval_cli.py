@@ -61,3 +61,17 @@ def test_eval_cli_segmentation_voting_and_streaming(tmp_path):
     assert stream["metric"] == "segmentation_streaming"
     assert stream["scenes"] == 2
     assert 0.0 <= stream["accuracy"] <= 1.0 and 0.0 <= stream["miou"] <= 1.0
+
+
+@pytest.mark.slow
+def test_eval_cli_streaming_rejects_global_context():
+    # a global-context checkpoint cannot be restored into the locality-only
+    # streaming net — the CLI must fail with the *_local guidance, not a
+    # flax shape error (round-5 scenenn anchor session)
+    out = subprocess.run(
+        [sys.executable, "eval.py", "--config", "s3dis_synthetic",
+         "--streaming"],
+        capture_output=True, text=True, env=ENV, timeout=600)
+    assert out.returncode != 0
+    assert "locality-only" in (out.stderr + out.stdout)
+    assert "_local" in (out.stderr + out.stdout)
