@@ -149,7 +149,7 @@ def _geometry_layout(points, mask, centers, center_mask, tile_n, tile_m,
 
 def _subblock_conv(points, features, weights, bias, *, radius, mask,
                    n_sub, cap, precision, interpret, tile_n, tile_m,
-                   mask_mode):
+                   mask_mode, impl="pallas", csr=None):
     """Exact sub-block overlap-save self-convolution (see pointwise_conv).
 
     Centers are ``n_sub`` consecutive groups of the input order (morton-
@@ -201,7 +201,7 @@ def _subblock_conv(points, features, weights, bias, *, radius, mask,
     cpts = p[brow, idx]                                            # (B,S,cap,3)
 
     common = dict(radius=radius, precision=precision, interpret=interpret,
-                  mask_mode=mask_mode)
+                  mask_mode=mask_mode, impl=impl, csr=csr)
 
     def sub_path(feats):
         cf = feats[brow, idx]                                      # (B,S,cap,C)
@@ -318,7 +318,8 @@ def pointwise_conv(
             raise ValueError("spatial impl shards self-convolution only")
         dropped = {"center_mask": center_mask, "ext_counts": ext_counts,
                    "interpret": interpret, "tile_n": tile_n, "tile_m": tile_m,
-                   "csr": csr, "mask_mode": mask_mode}
+                   "csr": csr, "mask_mode": mask_mode, "subblock": subblock,
+                   "subblock_cap": subblock_cap}
         bad = sorted(k for k, v in dropped.items() if v is not None)
         if bad:
             # refusing beats silently computing something else (e.g. an
@@ -331,12 +332,7 @@ def pointwise_conv(
         )
     if impl == "auto":
         impl = "pallas"
-    if impl == "reference":
-        return _ref.pointwise_conv_reference(
-            points, features, weights, bias, radius=radius, mask=mask,
-            centers=centers, center_mask=center_mask, ext_counts=ext_counts,
-        )
-    if impl != "pallas":
+    if impl not in ("pallas", "reference"):
         raise ValueError(f"unknown impl: {impl!r}")
 
     if subblock is not None and subblock > 1:
@@ -348,14 +344,23 @@ def pointwise_conv(
         # only the points inside its bbox + radius (gathered to a static
         # cap).  Runtime-exact: if any group's candidate count exceeds the
         # cap (badly sorted cloud, huge radius), a lax.cond takes the
-        # ordinary dense path instead.
+        # ordinary dense path instead.  Handled BEFORE the impl dispatch and
+        # forwarding impl/csr into the recursion, so impl='reference'
+        # validates the gather/fallback machinery against the executable
+        # spec and an explicit csr= survives the sub path.
         if centers is not None or ext_counts is not None:
             raise ValueError("subblock supports self-convolution only")
         return _subblock_conv(
             points, features, weights, bias, radius=radius, mask=mask,
             n_sub=int(subblock), cap=subblock_cap, precision=precision,
             interpret=interpret, tile_n=tile_n, tile_m=tile_m,
-            mask_mode=mask_mode)
+            mask_mode=mask_mode, impl=impl, csr=csr)
+
+    if impl == "reference":
+        return _ref.pointwise_conv_reference(
+            points, features, weights, bias, radius=radius, mask=mask,
+            centers=centers, center_mask=center_mask, ext_counts=ext_counts,
+        )
 
     # Coordinates at |x| >= _SENTINEL_CUT are indistinguishable from padding
     # (their neighborhoods silently drop).  The guard fails loudly under

@@ -20,6 +20,8 @@ Memory high-water on device is one bucket batch, independent of scene size.
 
 from __future__ import annotations
 
+import itertools
+
 from typing import Callable, Sequence
 
 import jax
@@ -50,9 +52,28 @@ def _stage(sx, sf, cand, centers, n0):
 
 _SCENE_STAGE_CACHE: dict = {}
 
-# (apply_fn id, bucket, tbs, lengths, axes, mesh shape) groups already
+# (apply_fn token, bucket, tbs, lengths, axes, mesh shape) groups already
 # warm-compiled this process — see stream_apply_layered.warm_group
 _WARMED: set = set()
+
+_FN_TOKENS = itertools.count()
+
+
+def _fn_token(fn):
+    """Process-unique identity for an apply_fn, stable for the fn's whole
+    life.  ``id()`` alone is unsafe here: CPython reuses addresses after
+    GC, so a dead warmed fn could alias a new one and _WARMED would
+    falsely report its programs warm (compiled=False on a request that
+    compiles).  A counter attribute pinned on first sight cannot alias;
+    callables that refuse attributes fall back to id()."""
+    tok = getattr(fn, "_pw_stream_token", None)
+    if tok is None:
+        tok = next(_FN_TOKENS)
+        try:
+            fn._pw_stream_token = tok
+        except Exception:
+            return id(fn)
+    return tok
 
 
 def _scene_sharded_stage(mesh, data_axis: str, scene_axis: str):
@@ -363,12 +384,25 @@ def stream_apply_layered(
     # chunk batching; small tiles (tbs > 1) keep the bucket key so chunks
     # stay full.  Group keys are therefore int (bucket) or tuple (padded
     # per-level lengths) — order with _gorder where sorting matters.
+    # n_data participates in the grouping predicate (a mesh rounds every
+    # chunk up to n_data tiles), so resolve it before the device-placement
+    # block below.
+    n_data = 1 if mesh is None else mesh.shape[data_axis]
     groups: dict = {}
     for job in jobs:
         counts = job[3]
         b = _bucket_for(int(counts[0]), buckets)
-        tbs_b = max(1, min(tile_batch, (8192 * tile_batch) // b))
-        key = (tuple(pad_len(int(c)) for c in counts) if tbs_b <= 1 else b)
+        # A tile gets its OWN padded schedule (tuple key) only when it runs
+        # one-per-chunk ANYWAY: the VMEM bound (8192*tile_batch slots) must
+        # force tbs == 1 at this bucket — not merely the caller having asked
+        # for tile_batch=1, which would explode SMALL tiles into one program
+        # per distinct schedule — and the mesh must not round chunks up to
+        # n_data tiles, which would leave per-schedule chunks mostly empty
+        # (n_data-1 zero rows of padded compute each) where bucket groups
+        # pack them full.
+        forced_single = (8192 * tile_batch) // b <= 1
+        key = (tuple(pad_len(int(c)) for c in counts)
+               if (forced_single and n_data == 1) else b)
         groups.setdefault(key, []).append(job)
 
     # Coalesce near-identical big-tile schedules: a 1M scene's 16 tiles are
@@ -413,7 +447,6 @@ def stream_apply_layered(
 
         repl = NamedSharding(mesh, P())
         row_sh = NamedSharding(mesh, P(data_axis))
-        n_data = mesh.shape[data_axis]
         put_scene = lambda a: jax.device_put(a, repl)       # noqa: E731
         put_rows = lambda a: jax.device_put(a, row_sh)      # noqa: E731
         if scene_axis is not None:
@@ -429,7 +462,6 @@ def stream_apply_layered(
             put_scene = lambda a: jax.device_put(a, scene_sh)  # noqa: E731
             stage = _scene_sharded_stage(mesh, data_axis, scene_axis)
     else:
-        n_data = 1
         put_scene = jax.device_put
         put_rows = jax.device_put
     scene_xyz = put_scene(jnp.asarray(scene_pad))
@@ -481,6 +513,7 @@ def stream_apply_layered(
             # schedule length, other tbs) must be replaced, not merged — a
             # short tuple would otherwise crash the packer mid-serve.
             prof = length_profiles.get(b)
+            covered_elsewhere = False
             if (prof is not None and prof[0] == tbs
                     and len(prof[1]) == len(lengths)):
                 lengths = tuple(max(int(p), l)
@@ -500,12 +533,19 @@ def stream_apply_layered(
                             best = (cost, tuple(int(x) for x in l2))
                 if best is not None:
                     lengths = best[1]
-            length_profiles[b] = (tbs, lengths)
+                    covered_elsewhere = True
+            # A schedule served by ANOTHER key's covering entry must not be
+            # re-inserted under its own scene-specific key: a keep-alive
+            # server over many distinct big scenes would otherwise grow the
+            # profile (its O(entries) covering scan, and the profile file
+            # infer.py rewrites per request) without bound.
+            if not covered_elsewhere:
+                length_profiles[b] = (tbs, lengths)
         meta[b] = (tbs, lengths)
 
     def _wkey(b):
         tbs, lengths = meta[b]
-        return (id(apply_fn), b, tbs, lengths, data_axis, scene_axis,
+        return (_fn_token(apply_fn), b, tbs, lengths, data_axis, scene_axis,
                 None if mesh is None else
                 tuple(sorted(mesh.shape.items())))
 
@@ -661,6 +701,14 @@ def stream_apply_layered(
         flush()
     if warm_thread is not None:       # avoid interpreter-shutdown races
         warm_thread.join()
+    # Every group's programs are certainly built once the call completes —
+    # record them even when the warm thread was disabled
+    # (POINTWISE_STREAM_WARM=0) or died, so the compile-visibility events of
+    # a keep-alive server stay truthful on repeat requests (the warm thread
+    # was previously the ONLY _WARMED writer, so disabling it reported
+    # compiled=True forever).
+    for b in groups:
+        _WARMED.add(_wkey(b))
     ev_t["total_s"] = time.perf_counter() - t_start
     ev_t["n_jobs"] = len(jobs)
     if events is not None:

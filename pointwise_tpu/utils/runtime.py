@@ -119,24 +119,44 @@ def profile_device_time(fn, logdir: str = "/tmp/pointwise_tpu_devtime",
     if not files:
         return None
     pd = jax.profiler.ProfileData.from_file(files[-1])
-    best_module = 0.0
-    for plane in pd.planes:
-        if not plane.name.startswith("/device:"):
-            continue
-        for line in plane.lines:
-            # a device-plane line is a non-overlapping sequence (module-,
-            # op-, … level); we want the MODULE line, whose total covers
-            # EVERY program fn dispatches per call (ADVICE r3: max-of-one-
-            # event-name under-counted multi-program jits).  Identify it by
-            # its "jit_…" program events rather than taking the busiest
-            # line: the async-copy line's events OVERLAP each other (and
-            # the kernel), so its sum exceeds wall and over-reported short
-            # programs (measured: a 0.57 ms program read as 1.39 ms — the
-            # staging-copy line total; GOLDEN round-4 attribution).
-            tot = sum(ev.duration_ns for ev in line.events
-                      if ev.name.startswith("jit"))
-            best_module = max(best_module, tot)
+    best_module = max((plane_jit_ns(plane) for plane in pd.planes
+                       if plane.name.startswith("/device:")), default=0.0)
     # No module line -> None (an honest miss).  The old busiest-line
-    # fallback returned the async-copy line, whose overlapping events are
-    # documented above to OVER-report — a number known to be wrong.
+    # fallback returned the async-copy line, whose overlapping events
+    # OVER-report (see plane_jit_ns) — a number known to be wrong.
     return best_module / 1e9 / iters if best_module else None
+
+
+def plane_jit_ns(plane) -> float:
+    """One device plane's MODULE-line total: max over lines of the summed
+    durations of jit-prefixed events, in ns.
+
+    THE module-line selection rule — keep exactly one copy.  Two wrong
+    variants already shipped and were fixed: taking the busiest line
+    over-reports short programs (the async-copy line's events overlap each
+    other and the kernel, so its sum exceeds wall — a 0.574 ms program
+    read as 1.390 ms, GOLDEN round 4), and summing whole mixed lines
+    inflates totals when a line carries jit and non-jit events
+    (ADVICE r4, scripts/attribute_train_step.py).  A device-plane line is
+    a non-overlapping sequence, and the module line's jit events cover
+    EVERY program a call dispatches (multi-program jits fully counted).
+    """
+    return max((sum(ev.duration_ns for ev in line.events
+                    if ev.name.startswith("jit"))
+                for line in plane.lines), default=0.0)
+
+
+def device_jit_seconds(logdir: str) -> float:
+    """Whole-trace device jit-program time: plane_jit_ns summed across the
+    /device: planes of the newest trace under ``logdir``, in seconds.
+    NaN when no trace file exists.  The attribution scripts' shared
+    accounting (scripts/attribute_streaming.py, attribute_train_step.py).
+    """
+    import glob
+
+    files = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
+    if not files:
+        return float("nan")
+    pd = jax.profiler.ProfileData.from_file(files[-1])
+    return sum(plane_jit_ns(plane) for plane in pd.planes
+               if plane.name.startswith("/device:")) / 1e9

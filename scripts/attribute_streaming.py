@@ -22,7 +22,6 @@ device-bound vs padding-bound is measured, not guessed.
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import shutil
@@ -33,25 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def device_module_total(logdir: str) -> float:
-    """Sum of jit-program durations on each device plane (max over lines),
-    mirroring utils.runtime.profile_device_time, in seconds (whole trace)."""
-    import jax
+    """Whole-trace device jit time — the shared library accounting
+    (utils.runtime.device_jit_seconds; one copy of the module-line rule)."""
+    from pointwise_tpu.utils.runtime import device_jit_seconds
 
-    files = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
-    if not files:
-        return float("nan")
-    pd = jax.profiler.ProfileData.from_file(files[-1])
-    total = 0.0
-    for plane in pd.planes:
-        if not plane.name.startswith("/device:"):
-            continue
-        best = 0.0
-        for line in plane.lines:
-            tot = sum(ev.duration_ns for ev in line.events
-                      if ev.name.startswith("jit"))
-            best = max(best, tot)
-        total += best
-    return total / 1e9
+    return device_jit_seconds(logdir)
 
 
 def main():

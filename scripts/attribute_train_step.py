@@ -155,20 +155,17 @@ def main():
     for plane in pd.planes:
         if not plane.name.startswith("/device:"):
             continue
-        # module accounting mirrors runtime.profile_device_time (ADVICE r4):
-        # sum ONLY jit-prefixed events, take the per-plane MAX over lines —
-        # summing whole mixed lines across planes inflated module_total
-        plane_module = 0.0
+        # module accounting = the shared library rule (ADVICE r4 fixed a
+        # mixed-line inflation here; one copy lives in utils.runtime now)
+        from pointwise_tpu.utils.runtime import plane_jit_ns
+
+        plane_module = plane_jit_ns(plane)
         for line in plane.lines:
             events = list(line.events)
             if not events:
                 continue
-            is_module = any(e.name.startswith("jit") for e in events)
-            if is_module:
-                plane_module = max(
-                    plane_module,
-                    sum(e.duration_ns for e in events
-                        if e.name.startswith("jit")))
+            if any(e.name.startswith("jit") for e in events):
+                continue   # module line — counted via plane_jit_ns above
             elif "async" in line.name.lower() or "copy" in line.name.lower():
                 # async-copy events overlap each other; skip (GOLDEN r4)
                 continue

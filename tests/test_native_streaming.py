@@ -259,7 +259,7 @@ def test_streaming_layered_length_profile_reuse():
             "profile entries must only grow (monotone merge)"
 
 
-def test_streaming_big_tile_per_schedule_groups():
+def test_streaming_big_tile_per_schedule_groups(tmp_path):
     # Round-5 big-scene fix: tiles that run one-per-chunk (tbs == 1) are
     # grouped by their OWN padded schedule, not the shared p0 bucket —
     # lumping them padded corner tiles up to interior-tile maxima (1.47x
@@ -301,9 +301,99 @@ def test_streaming_big_tile_per_schedule_groups():
         dummy_apply, xyz, feats, radii=(0.3, 0.6), tile_size=4.0,
         out_dim=3, tile_batch=1, length_profiles=profiles)
     assert any(isinstance(k, tuple) for k in profiles), profiles
-    path = "/tmp/pw_test_profiles_tuple.json"
+    path = str(tmp_path / "pw_test_profiles_tuple.json")
     save_profiles(path, profiles)
     assert load_profiles(path) == profiles
+
+    # Coverage dedup (round-5 session fix): a later scene whose schedules
+    # are elementwise COVERED by existing entries must reuse them and add
+    # NO scene-specific keys — a keep-alive server over many distinct big
+    # scenes would otherwise grow the profile (and its O(entries) covering
+    # scan + the per-request profile-file rewrite) without bound.
+    keys_before = set(profiles)
+    thin_xyz = np.ascontiguousarray(xyz[::2])   # ~half density, same tiles:
+    thin_fts = np.ascontiguousarray(feats[::2])  # strictly smaller schedules
+    out2 = stream_apply_layered(
+        dummy_apply, thin_xyz, thin_fts, radii=(0.3, 0.6), tile_size=4.0,
+        out_dim=3, tile_batch=1, length_profiles=profiles)
+    assert out2.shape == (len(thin_xyz), 3)
+    assert set(profiles) == keys_before, (
+        f"covered schedules must not insert new profile keys: "
+        f"{set(profiles) - keys_before}")
+
+
+def test_streaming_grouping_stays_bucketed_when_chunks_batch():
+    # Round-5 session fix: per-schedule (tuple) group keys apply ONLY when
+    # the VMEM bound forces one tile per chunk.  (a) a caller's
+    # tile_batch=1 on SMALL tiles must keep bucket keys — one program per
+    # bucket, not one 20-60 s program per distinct schedule; (b) under a
+    # data mesh, chunks hold n_data tiles, so big tiles must ALSO keep
+    # bucket keys (a one-member per-schedule group would pad n_data-1 zero
+    # rows of device compute into every chunk).
+    from pointwise_tpu.parallel import make_mesh
+    from pointwise_tpu.streaming import stream_apply_layered
+
+    rng = np.random.RandomState(3)
+
+    def dummy_apply(pts, fts, cnt, sels, skips, lengths):
+        return jnp.zeros((pts.shape[0], lengths[-1], 3), jnp.float32)
+
+    # (a) two SMALL tiles, same 512 bucket, clearly different schedules
+    # (cost gap > the 10% coalescing budget): must be ONE program.
+    a = rng.uniform((0, 0, 0), (2, 2, 1), (400, 3))
+    b = rng.uniform((10, 10, 0), (12, 12, 1), (180, 3))
+    xyz = np.concatenate([a, b]).astype(np.float32)
+    fts = rng.uniform(0, 1, (len(xyz), 3)).astype(np.float32)
+    ev = {}
+    out = stream_apply_layered(
+        dummy_apply, xyz, fts, radii=(0.3, 0.6), tile_size=2.0, out_dim=3,
+        buckets=(512, 1024), tile_batch=1, events=ev)
+    assert out.shape == (len(xyz), 3)
+    assert ev["new_programs"] == 1, ev
+
+    # (b) two BIG tiles in the SAME 32768 bucket with distinct padded
+    # schedules (26000 -> 32768 vs 20000 -> 24576 at the 8192 grain, cost
+    # gap > the 10% coalescing budget) under a data mesh: bucket key again
+    # -> ONE program whose chunks pack both tiles, not two one-member
+    # per-schedule groups padded up to n_data slots each.
+    a = rng.uniform((0, 0, 0), (4, 4, 1), (26000, 3))
+    b = rng.uniform((4, 0, 0), (8, 4, 1), (20000, 3))
+    xyz = np.concatenate([a, b]).astype(np.float32)
+    fts = rng.uniform(0, 1, (len(xyz), 3)).astype(np.float32)
+
+    def dummy_apply2(pts, fts_, cnt, sels, skips, lengths):
+        return jnp.zeros((pts.shape[0], lengths[-1], 3), jnp.float32)
+
+    ev = {}
+    out = stream_apply_layered(
+        dummy_apply2, xyz, fts, radii=(0.3, 0.6), tile_size=4.0, out_dim=3,
+        tile_batch=4, mesh=make_mesh(), events=ev)
+    assert out.shape == (len(xyz), 3)
+    assert ev["new_programs"] == 1, ev
+
+
+def test_streaming_events_truthful_without_warm_thread(monkeypatch):
+    # POINTWISE_STREAM_WARM=0 moves program builds onto the dispatch
+    # thread; the completed call must STILL record its programs warm, so a
+    # keep-alive server's compile-visibility reports compiled=False on the
+    # repeat request (the warm thread was previously the only _WARMED
+    # writer).
+    from pointwise_tpu.streaming import stream_apply_layered
+
+    monkeypatch.setenv("POINTWISE_STREAM_WARM", "0")
+    rng = np.random.RandomState(4)
+    xyz = rng.uniform(0, 2, (500, 3)).astype(np.float32)
+    fts = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+
+    def dummy_apply(pts, fts_, cnt, sels, skips, lengths):
+        return jnp.zeros((pts.shape[0], lengths[-1], 2), jnp.float32)
+
+    kw = dict(radii=(0.3,), tile_size=2.0, out_dim=2, buckets=(512, 1024))
+    ev1, ev2 = {}, {}
+    stream_apply_layered(dummy_apply, xyz, fts, events=ev1, **kw)
+    assert ev1["compiled"] and ev1["new_programs"] >= 1, ev1
+    stream_apply_layered(dummy_apply, xyz, fts, events=ev2, **kw)
+    assert not ev2["compiled"] and ev2["new_programs"] == 0, ev2
 
 
 @pytest.mark.slow

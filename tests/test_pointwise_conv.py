@@ -220,6 +220,11 @@ def test_spatial_impl_rejects_unsupported_kwargs():
     with pytest.raises(ValueError, match="does not support"):
         pointwise_conv(pts, feats, w, None, radius=0.5, impl="spatial:space",
                        csr=True)
+    # subblock is likewise a pallas/reference-path feature: the spatial impl
+    # must refuse it rather than silently convolve without sub-blocking
+    with pytest.raises(ValueError, match="does not support"):
+        pointwise_conv(pts, feats, w, None, radius=0.5, impl="spatial:space",
+                       subblock=4)
 
 
 def test_translation_invariance():
@@ -577,14 +582,35 @@ def test_subblock_matches_dense_fwd_and_grads():
 def test_subblock_overflow_falls_back_dense():
     # a cap smaller than any group's candidate count must take the dense
     # branch at runtime and stay exact (the cap picks the program, never
-    # the answer)
+    # the answer).  n must EXCEED the lane-rounded cap for the overflow to
+    # be reachable at all (cap = min(round_up(subblock_cap, 128), n) — an
+    # earlier n=128 variant made cap == n and tested nothing); here
+    # radius 2.5 >> the unit spread, so every group's candidate count is
+    # the full 256 > cap 128, the cond MUST take the dense branch, and a
+    # wrongly-taken sub branch would truncate half of every neighborhood
+    # and fail the equality below.
     pts, feats, w, bias = _morton_sorted_problem(jax.random.PRNGKey(32),
-                                                 n=128)
+                                                 n=256)
     pts = jnp.asarray(pts)
     y_dense = pointwise_conv(pts, feats, w, bias, radius=2.5, impl="pallas")
     y_sub = pointwise_conv(pts, feats, w, bias, radius=2.5, impl="pallas",
-                           subblock=4, subblock_cap=32)   # cap < group size
+                           subblock=4, subblock_cap=32)   # cap < group count
     np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_dense),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_subblock_reference_impl_matches_spec():
+    # subblock is handled BEFORE the impl dispatch and forwards impl into
+    # its recursion (an earlier ordering silently ignored subblock under
+    # impl='reference'), so the gather/cap/fallback machinery validates
+    # directly against the executable spec.
+    pts, feats, w, bias = _morton_sorted_problem(jax.random.PRNGKey(34))
+    pts = jnp.asarray(pts)
+    y_ref = pointwise_conv(pts, feats, w, bias, radius=0.25,
+                           impl="reference")
+    y_sub = pointwise_conv(pts, feats, w, bias, radius=0.25,
+                           impl="reference", subblock=4)
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_ref),
                                rtol=1e-6, atol=1e-6)
 
 
